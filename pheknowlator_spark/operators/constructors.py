@@ -1,0 +1,282 @@
+"""Instance- and subclass-based triple constructors (G1-G4).
+
+Re-expresses reference pkt_kg/construction_approaches.py as pure Catalyst
+column expressions: each input edge row expands to a generated array of
+triple structs which is exploded — no UDF, no Python row loop, fully
+whole-stage-codegen'd and embarrassingly parallel (a 100 TB edge table
+expands map-side with zero shuffle).
+
+Edge-row input contract (one row per (edge_type, subject, object) pair)::
+
+    edge_type : string
+    n1_kind   : 'class' | 'entity'   (entity == subclass/instance node)
+    n2_kind   : 'class' | 'entity'
+    sub_id    : string   raw subject identifier (e.g. 'CHEBI_81395', '19')
+    obj_id    : string   raw object identifier
+    uri1      : string   namespace prefix for subject ids
+    uri2      : string   namespace prefix for object ids
+    rel       : string   relation CURIE (e.g. 'RO_0002606')
+    inv_rel   : string?  inverse-relation CURIE or null
+
+Node-type resolution mirrors ``finds_node_type``
+(reference pkt_kg/utils/kg_utils.py:325-371): for mixed class-entity edges
+the *class* side becomes core-constructor node1 when n1 is the class
+(construction_approaches.py:187,262 ``ent_order``).
+
+Subclass-map misses are captured to an error DataFrame (mirrors
+``subclass_error``, construction_approaches.py:95-99) and the edge emits
+no triples (tests/test_construction_approaches.py:246-270 parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.functions.rdf import (
+    OBO,
+    OWL_CLASS,
+    OWL_NAMED_INDIVIDUAL,
+    OWL_OBJECT_PROPERTY,
+    OWL_ON_PROPERTY,
+    OWL_RESTRICTION,
+    OWL_SOME_VALUES_FROM,
+    RDF_TYPE,
+    RDFS_SUBCLASSOF,
+    pkt_bnode_hash,
+    pkt_instance_hash,
+    pkt_subject_hash,
+    uri_triple,
+)
+
+EDGE_COLS = [
+    "edge_type",
+    "n1_kind",
+    "n2_kind",
+    "sub_id",
+    "obj_id",
+    "uri1",
+    "uri2",
+    "rel",
+    "inv_rel",
+]
+
+
+def _subclass_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> Column:
+    """Array of 9 (+9 with inverse) triple structs.
+
+    Parity: construction_approaches.py:104-154 (counts asserted 9/18 by
+    tests/test_construction_approaches.py:171-189, 209-227).
+    """
+    u1 = pkt_subject_hash(n1, rel, n2)
+    u2 = pkt_bnode_hash(n1, rel, n2)
+    fwd = F.array(
+        uri_triple(n1, RDF_TYPE, OWL_CLASS),
+        uri_triple(u1, RDFS_SUBCLASSOF, n1),
+        uri_triple(u1, RDF_TYPE, OWL_CLASS),
+        uri_triple(u1, RDFS_SUBCLASSOF, u2),
+        uri_triple(u2, RDF_TYPE, OWL_RESTRICTION),
+        uri_triple(u2, OWL_SOME_VALUES_FROM, n2),
+        uri_triple(n2, RDF_TYPE, OWL_CLASS),
+        uri_triple(u2, OWL_ON_PROPERTY, rel),
+        uri_triple(rel, RDF_TYPE, OWL_OBJECT_PROPERTY),
+    )
+    u3 = pkt_subject_hash(n2, inv, n1)
+    u4 = pkt_bnode_hash(n2, inv, n1)
+    bwd = F.array(
+        uri_triple(n2, RDF_TYPE, OWL_CLASS),
+        uri_triple(u3, RDFS_SUBCLASSOF, n2),
+        uri_triple(u3, RDF_TYPE, OWL_CLASS),
+        uri_triple(u3, RDFS_SUBCLASSOF, u4),
+        uri_triple(u4, RDF_TYPE, OWL_RESTRICTION),
+        uri_triple(u4, OWL_SOME_VALUES_FROM, n1),
+        uri_triple(n1, RDF_TYPE, OWL_CLASS),
+        uri_triple(u4, OWL_ON_PROPERTY, inv),
+        uri_triple(inv, RDF_TYPE, OWL_OBJECT_PROPERTY),
+    )
+    return F.when(inv.isNotNull(), F.concat(fwd, bwd)).otherwise(fwd)
+
+
+def _instance_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> Column:
+    """Array of 6 (+2 with inverse) triple structs.
+
+    Hash relation = alphabetically first of {rel, inv}
+    (construction_approaches.py:222 ``sorted([relation, inv_relation])[0]``
+    over full URIs → ``F.least``). Counts 6/8 per
+    tests/test_construction_approaches.py:190-208, 228-246.
+    """
+    hash_rel = F.when(inv.isNotNull(), F.least(rel, inv)).otherwise(rel)
+    u1 = pkt_instance_hash(n1, hash_rel, n2, "subject")
+    u2 = pkt_instance_hash(n1, hash_rel, n2, "object")
+    fwd = F.array(
+        uri_triple(u1, RDF_TYPE, n1),
+        uri_triple(u1, RDF_TYPE, OWL_NAMED_INDIVIDUAL),
+        uri_triple(u2, RDF_TYPE, n2),
+        uri_triple(u2, RDF_TYPE, OWL_NAMED_INDIVIDUAL),
+        uri_triple(u1, rel, u2),
+        uri_triple(rel, RDF_TYPE, OWL_OBJECT_PROPERTY),
+    )
+    bwd = F.array(
+        uri_triple(u2, inv, u1),
+        uri_triple(inv, RDF_TYPE, OWL_OBJECT_PROPERTY),
+    )
+    return F.when(inv.isNotNull(), F.concat(fwd, bwd)).otherwise(fwd)
+
+
+def _resolved(edges: DataFrame) -> DataFrame:
+    """Resolve full URIs + core-constructor node order.
+
+    ``core_n1``/``core_n2`` follow the reference's ent_order rule: for
+    class-entity edges the class side is node1 (construction_approaches.py:187).
+    """
+    n1_uri = F.concat(F.col("uri1"), F.col("sub_id"))
+    n2_uri = F.concat(F.col("uri2"), F.col("obj_id"))
+    n1_is_cls = F.col("n1_kind") == "class"
+    n2_is_cls = F.col("n2_kind") == "class"
+    # mixed edge: class side first
+    swap = (~n1_is_cls) & n2_is_cls
+    return (
+        edges.withColumn("n1_uri", n1_uri)
+        .withColumn("n2_uri", n2_uri)
+        .withColumn("rel_uri", F.concat(F.lit(OBO), F.col("rel")))
+        .withColumn(
+            "inv_rel_uri",
+            F.when(
+                F.col("inv_rel").isNotNull(), F.concat(F.lit(OBO), F.col("inv_rel"))
+            ),
+        )
+        .withColumn("core_n1", F.when(swap, n2_uri).otherwise(n1_uri))
+        .withColumn("core_n2", F.when(swap, n1_uri).otherwise(n2_uri))
+        .withColumn("n_entities", (~n1_is_cls).cast("int") + (~n2_is_cls).cast("int"))
+    )
+
+
+def _entity_side(edges: DataFrame, side: int) -> DataFrame:
+    """Rows whose side-N node is an entity, keyed for the subclass-map join."""
+    kind, ident, uri = (
+        ("n1_kind", "sub_id", "uri1") if side == 1 else ("n2_kind", "obj_id", "uri2")
+    )
+    return edges.filter(F.col(kind) == "entity").select(
+        "edge_key",
+        "edge_type",
+        F.col(ident).alias("entity_id"),
+        F.concat(F.col(uri), F.col(ident)).alias("entity_uri"),
+    )
+
+
+def _with_edge_key(edges: DataFrame) -> DataFrame:
+    return edges.withColumn(
+        "edge_key",
+        F.md5(
+            F.concat_ws(
+                "", "edge_type", "sub_id", "obj_id", "rel",
+                F.coalesce("inv_rel", F.lit("")),
+            ).cast("binary")
+        ),
+    )
+
+
+def construct_edges(
+    edges: DataFrame,
+    subclass_map: DataFrame | None = None,
+    approach: str = "subclass",
+) -> tuple[DataFrame, DataFrame]:
+    """G3/G4 dispatch: expand an edge table into KG triples.
+
+    Args:
+        edges: DataFrame with ``EDGE_COLS`` (see module docstring).
+        subclass_map: ``[entity_id, class_id]`` exploded map (broadcast);
+            required when any edge has an entity side.
+        approach: ``'subclass'`` or ``'instance'``.
+
+    Returns:
+        (triples, errors): triples has FULL_TRIPLE_COLS + edge_type;
+        errors has (edge_type, entity_id) — entities missing from the
+        subclass map (parity: subclass_error dict,
+        construction_approaches.py:95-99).
+
+    Scale notes: the subclass map is a dimension table (≤10^7 rows) →
+    broadcast hash joins; the expansion itself is map-side explode; output
+    is hash-partitioned by the writer, not here.
+    """
+    if approach not in ("subclass", "instance"):
+        raise ValueError(f"unknown construction approach: {approach}")
+    edges = _with_edge_key(_resolved(edges))
+
+    ent1 = _entity_side(edges, 1)
+    ent2 = _entity_side(edges, 2)
+    all_entities = ent1.unionByName(ent2)
+
+    spark = edges.sparkSession
+    if subclass_map is None:
+        subclass_map = spark.createDataFrame([], "entity_id string, class_id string")
+
+    # entity → ontology-class mapping; misses drop the whole edge
+    mapped = all_entities.join(
+        F.broadcast(subclass_map.select("entity_id", "class_id")),
+        "entity_id",
+        "left",
+    )
+    errors = (
+        mapped.filter(F.col("class_id").isNull())
+        .select("edge_type", "entity_id")
+        .distinct()
+    )
+    bad_edges = (
+        mapped.filter(F.col("class_id").isNull()).select("edge_key").distinct()
+    )
+    good_edges = edges.join(bad_edges, "edge_key", "left_anti")
+
+    # --- map triples: ent subClassOf obo:cls (+ typing; instance adds
+    # ent rdf:type owl:Class — construction_approaches.py:185-186, 259-261)
+    ent_cls = (
+        mapped.filter(F.col("class_id").isNotNull())
+        .join(bad_edges, "edge_key", "left_anti")
+        .withColumn("class_uri", F.concat(F.lit(OBO), F.col("class_id")))
+    )
+    map_triple_structs = [
+        uri_triple(F.col("entity_uri"), RDFS_SUBCLASSOF, F.col("class_uri")),
+        uri_triple(F.col("class_uri"), RDF_TYPE, OWL_CLASS),
+    ]
+    if approach == "instance":
+        map_triple_structs.append(
+            uri_triple(F.col("entity_uri"), RDF_TYPE, OWL_CLASS)
+        )
+    map_triples = ent_cls.select(
+        "edge_type", F.explode(F.array(*map_triple_structs)).alias("t")
+    ).select("edge_type", "t.*")
+
+    # --- core triples
+    core_fn = (
+        _subclass_core_triples if approach == "subclass" else _instance_core_triples
+    )
+    core = core_fn(
+        F.col("core_n1"), F.col("core_n2"), F.col("rel_uri"), F.col("inv_rel_uri")
+    )
+    core_triples = good_edges.select(
+        "edge_type", F.explode(core).alias("t")
+    ).select("edge_type", "t.*")
+
+    triples = map_triples.unionByName(core_triples)
+    return triples, errors
+
+
+def core_constructor_df(
+    edges: DataFrame, approach: str = "subclass"
+) -> DataFrame:
+    """Bare G1/G2 core expansion for pre-resolved URI edges.
+
+    Input: ``[n1_uri, n2_uri, rel_uri, inv_rel_uri]`` (+passthrough cols).
+    Output: one row per emitted triple, duplicates preserved (the reference
+    returns tuples-with-duplicates; dedup happens at graph-set level).
+    """
+    core_fn = (
+        _subclass_core_triples if approach == "subclass" else _instance_core_triples
+    )
+    arr = core_fn(
+        F.col("n1_uri"), F.col("n2_uri"), F.col("rel_uri"), F.col("inv_rel_uri")
+    )
+    passthrough = [c for c in edges.columns if c not in ("n1_uri", "n2_uri")]
+    return edges.select(*passthrough, F.explode(arr).alias("t")).select(
+        *passthrough, "t.*"
+    )

@@ -1,0 +1,199 @@
+"""Iterative graph algorithms as driver-side loops over DataFrame ops.
+
+* ``connected_components`` — A7 (kg_utils.py:402-420 networkx CC) as
+  large-star/small-star min-label propagation; used for same-as
+  canonicalization (north rule).
+* ``transitive_closure`` — J10/N11 ancestor closure
+  (kg_utils.py:373-399 recursive walk) as iterative self-join to fixpoint.
+* ``assign_integer_ids`` — S13/W2 dense id assignment
+  (kg_utils.py:653-699) without a single-partition window.
+
+Each iteration localCheckpoints to cut lineage (SURVEY §4: checkpoint every
+iteration); at cluster scale these become Iceberg/parquet checkpoint writes
+— see plans.checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Min-label-propagation connected components over an undirected edge set.
+
+    Returns ``[node, component]`` where component is the lexicographic min
+    node id of the component (deterministic — replaces the reference's
+    order-dependent networkx component numbering, kg_utils.py:402-420).
+
+    Algorithm: alternate small-star / large-star style contraction via
+    grouped min-neighbor joins; converges in O(log d) rounds on real graphs.
+    Per-round cost: one shuffle join + one groupBy — both hash-partitioned
+    on node, so at 10^12 scale rounds reuse the same partitioning.
+    """
+    # undirected symmetric closure, self-labels
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    sym = _cut_lineage(sym)
+    labels = _cut_lineage(labels)
+
+    for it in range(max_iterations):
+        # candidate label per node = min(own, min over neighbors' labels)
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # label-pointer jumping: component ← label(component) to shortcut chains
+        jumped = (
+            new_labels.alias("l")
+            .join(
+                new_labels.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("parent"),
+                ).alias("r"),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("parent", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        )
+        if checkpoint_every and (it % checkpoint_every == 0):
+            jumped = _cut_lineage(jumped)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """All (descendant, ancestor) pairs over a DAG edge set.
+
+    Doubling closure: paths ← paths ∪ (paths ⋈ paths) each round, so depth-d
+    hierarchies converge in ⌈log2 d⌉ rounds. Intended for the *ontology*
+    subgraph (≤10^7 edges — SURVEY §7.4 risk 3 bounds the explosion); never
+    run on the full web-derived triple set.
+
+    Returns ``[child, parent]`` distinct pairs (excluding reflexive pairs).
+    """
+    paths = (
+        edges.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+    paths = _cut_lineage(paths)
+    for _ in range(max_iterations):
+        hops = (
+            paths.alias("x")
+            .join(
+                paths.alias("y"), F.col("x.parent") == F.col("y.child")
+            )
+            .select(F.col("x.child").alias("child"), F.col("y.parent").alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+        )
+        new_paths = paths.unionByName(hops).distinct()
+        new_paths = _cut_lineage(new_paths)
+        new_count, old_count = new_paths.count(), paths.count()
+        paths = new_paths
+        if new_count == old_count:
+            break
+    return paths
+
+
+def entity_ancestors(
+    subclass_edges: DataFrame, entities: DataFrame, entity_col: str = "node"
+) -> DataFrame:
+    """J10: ancestors per entity via the cached closure.
+
+    ``subclass_edges``: [child, parent] direct edges. Returns
+    [node, ancestor] pairs (kg_utils.py:373-399 semantics, order-free).
+    """
+    closure = transitive_closure(subclass_edges)
+    return (
+        entities.select(F.col(entity_col).alias("node"))
+        .distinct()
+        .join(closure.withColumnRenamed("child", "node"), "node")
+        .select("node", F.col("parent").alias("ancestor"))
+    )
+
+
+def assign_integer_ids(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S13: dense integer ids for every node+predicate, plus encoded triples.
+
+    The reference assigns ids in insertion order (kg_utils.py:681-686); any
+    bijection is valid because the map is materialized alongside. We order
+    lexicographically for determinism and use zipWithIndex (no
+    single-partition window bottleneck at 10^10 nodes).
+
+    Returns (id_map [entity, id], int_triples [s_id, p_id, o_id]).
+    Parity check: output triple count must equal input (kg_utils.py:694).
+    """
+    entities = (
+        triples.select(F.col("s").alias("entity"))
+        .unionByName(triples.select(F.col("p").alias("entity")))
+        .unionByName(triples.select(F.col("o").alias("entity")))
+        .distinct()
+        .orderBy("entity")
+    )
+    id_map = (
+        entities.rdd.map(lambda r: r.entity)
+        .zipWithIndex()
+        .toDF(["entity", "id"])
+    )
+    m = id_map
+    int_triples = (
+        triples.join(m.select(F.col("entity").alias("s"), F.col("id").alias("s_id")), "s")
+        .join(m.select(F.col("entity").alias("p"), F.col("id").alias("p_id")), "p")
+        .join(m.select(F.col("entity").alias("o"), F.col("id").alias("o_id")), "o")
+        .select("s_id", "p_id", "o_id")
+    )
+    n_in, n_out = triples.count(), int_triples.count()
+    if n_in != n_out:
+        raise ValueError(
+            f"integer-encoding lost triples: {n_in} in vs {n_out} out"
+        )
+    return id_map, int_triples
