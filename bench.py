@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the webtext
+pages→triples pipeline at two parallelism levels (local[N/4] vs local[N])
+to evidence the north rule's N→4N scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pages_per_hour": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pheknowlator_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
+
+HEADLINE = [
+    "subclass_core_inverse",
+    "instance_core_inverse",
+    "edge_filter_project",
+    "edge_dedup_window",
+    "identifier_map_join",
+    "graph_stats",
+    "top_predicates",
+    "mode_per_group",
+    "connected_components",
+    "transitive_closure",
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_quantized_topk",
+    "mentions",
+    "comention_edges",
+    "token_stats",
+    "pipeline_triples",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+PAGES_DIR = os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR", "/tmp/pkt_bench_pages")
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))  # N vs 4N cores
+
+
+def stage_pages(n_pages: int) -> None:
+    """Untimed setup: materialize the synthetic pages table to parquet —
+    the timed job reads it like the production Iceberg pages table (keeps
+    exactly one Python crossing in the measured path)."""
+    if os.path.exists(os.path.join(PAGES_DIR, "_SUCCESS")):
+        return
+    from pheknowlator_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="bench_setup", master=f"local[{CPUS}]")
+    generate_pages(spark, n_pages, size_factor=5).write.mode(
+        "overwrite"
+    ).parquet(PAGES_DIR)
+    spark.stop()
+
+
+def run_pipeline_job(spark) -> None:
+    """pages parquet → extract+quality+mention (fused Arrow stage) → link →
+    co-mention edges → triples."""
+    from pheknowlator_spark.sources.pages import entity_dictionary
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    pages = spark.read.parquet(PAGES_DIR)
+    out = run_pipeline(
+        pages,
+        entity_dictionary(spark),
+        min_pages=2,
+        re_extract=True,
+        quality_threshold=0.4,
+        materialize=True,
+    )
+    force(out["triples"])
+
+
+def _timed_pipeline(cores: int, reps: int) -> float:
+    """One session per level: warmup run (spawns+warms the Python worker
+    pool — this sandbox VM shows large system-CPU storms on cold worker
+    fleets), then best-of-reps."""
+    spark = get_spark(
+        app_name=f"bench_c{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    run_pipeline_job(spark)  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        run_pipeline_job(spark)
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return best
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    results: dict[str, float] = {}
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    queries = entry_mod.queries()
+    # one warmup action so JVM/codegen startup doesn't pollute query times
+    force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+
+    t_total0 = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        force(queries[name](spark, SF_DIR))
+        results[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # scaling: identical pages→triples job at N vs 4N cores (sandbox
+    # stand-in for N vs 4N executors; BASELINE.md documents the mapping)
+    stage_pages(N_PAGES)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    quarter = SCALE_N
+    full = 4 * SCALE_N
+    t_quarter = _timed_pipeline(quarter, reps)
+    t_full = _timed_pipeline(full, reps)
+    pages_per_hour = N_PAGES / t_full * 3600
+
+    thr_n, thr_4n = N_PAGES / t_quarter, N_PAGES / t_full
+    efficiency = (thr_4n / thr_n) / (full / quarter)
+    total = round(time.time() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "pages_per_hour": round(pages_per_hour),
+                "bench_pages": N_PAGES,
+                "scaling": {
+                    "cores_n": quarter,
+                    "cores_4n": full,
+                    "sec_n": round(t_quarter, 3),
+                    "sec_4n": round(t_full, 3),
+                    "throughput_n_pages_per_sec": round(thr_n, 2),
+                    "throughput_4n_pages_per_sec": round(thr_4n, 2),
+                    "efficiency_n_to_4n": round(efficiency, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

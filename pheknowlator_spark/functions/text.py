@@ -1,0 +1,142 @@
+"""Text-analysis column expressions for the documents table.
+
+All JVM-side (no UDFs): language-ID by stopword-hit ratio, quality scoring,
+token counting (whitespace + BPE-ish regex), rolling-hash fingerprinting.
+Designed to run in one projection pass over a 100 TB text column inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic language ID)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con"],
+}
+
+
+def _word_set(col: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(col), r"\s+"))
+
+
+def lang_id_scores(col: Column) -> Column:
+    """Map of language → marker-hit count (pick argmax downstream)."""
+    words = _word_set(col)
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(
+            F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))
+        )
+        entries.extend([F.lit(lang), hits])
+    return F.create_map(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """Best-guess language code ('und' when no markers hit).
+
+    Deterministic argmax with lexicographic tie-break on the code.
+    """
+    words = _word_set(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(_LANG_MARKERS):  # later wins only on strict >
+        hits = F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+            )
+        )
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: words, numbers, and single punctuation marks
+    counted separately (a cl100k-style pre-tokenizer approximation)."""
+    toks = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band, punctuation ratio,
+    stopword ratio, mean word length band — the standard web-corpus
+    filters, one codegen'd expression."""
+    n_chars = F.length(col)
+    n_tokens = token_count_ws(col)
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]]),
+        )
+    )
+    punct = F.length(F.regexp_replace(col, r"[^!?.,;:]", ""))
+    len_ok = (n_chars >= 100) & (n_chars <= 100_000)
+    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
+    wl_ok = (mean_wl >= 3.0) & (mean_wl <= 12.0)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    punct_ok = punct_ratio < 0.2
+    stop_ok = stop_hits >= 2
+    return (
+        len_ok.cast("double") * 0.25
+        + wl_ok.cast("double") * 0.25
+        + punct_ok.cast("double") * 0.25
+        + stop_ok.cast("double") * 0.25
+    )
+
+
+def quality_score_py(text: str) -> float:
+    """Python twin of ``quality_score`` for fused Arrow stages — MUST stay
+    semantically identical to the Column version (parity-tested in
+    tests/test_training_ops.py)."""
+    import re as _re
+
+    n_chars = len(text)
+    trimmed = text.strip()
+    tokens = _re.split(r"\s+", trimmed) if trimmed else []
+    n_tokens = len(tokens)
+    stop_hits = len(set(w for w in _re.split(r"\s+", trimmed.lower()) if w)
+                    & set(_LANG_MARKERS["en"]))
+    punct = sum(1 for ch in text if ch in "!?.,;:")
+    len_ok = 100 <= n_chars <= 100_000
+    mean_wl = n_chars / max(n_tokens, 1)
+    wl_ok = 3.0 <= mean_wl <= 12.0
+    punct_ok = punct / max(n_chars, 1) < 0.2
+    stop_ok = stop_hits >= 2
+    return 0.25 * len_ok + 0.25 * wl_ok + 0.25 * punct_ok + 0.25 * stop_ok
+
+
+def fingerprint64(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of normalized
+    text) — exact-dup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) for Jaccard/MinHash."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        )
+    )

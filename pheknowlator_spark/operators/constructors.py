@@ -201,7 +201,13 @@ def construct_edges(
     """
     if approach not in ("subclass", "instance"):
         raise ValueError(f"unknown construction approach: {approach}")
-    edges = _with_edge_key(_resolved(edges))
+    # the edge table feeds ≥4 consumers (entity sides, anti-join, map
+    # triples, core triples). Persist EAGERLY: a lazy persist shared by
+    # concurrent subtrees of one downstream action gets evaluated
+    # redundantly before the cache fills, re-running the whole upstream
+    # (possibly Python mention-detection) pipeline per consumer.
+    edges = _with_edge_key(_resolved(edges)).persist()
+    edges.count()
 
     ent1 = _entity_side(edges, 1)
     ent2 = _entity_side(edges, 2)
@@ -216,7 +222,7 @@ def construct_edges(
         F.broadcast(subclass_map.select("entity_id", "class_id")),
         "entity_id",
         "left",
-    )
+    ).persist()
     errors = (
         mapped.filter(F.col("class_id").isNull())
         .select("edge_type", "entity_id")

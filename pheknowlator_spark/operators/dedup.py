@@ -1,0 +1,251 @@
+"""Deduplication suite over the documents table.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard near-dup — each expressed so the heavy lifting
+is a hash-partitioned groupBy/join, never a corpus×corpus cross join:
+
+* exact:    one shuffle on the 64-bit fingerprint.
+* minhash:  signatures are per-row column math (no shuffle); candidate
+  generation shuffles on (band, band_hash) buckets only; verification joins
+  the (tiny) candidate set back to the shingle arrays.
+* simhash:  per-row bit math + self-join on rotated prefix buckets.
+
+At 100 TB the bucket join is the scale path: bucket population is bounded
+(hot buckets indicate near-identical content → exactly what we want
+grouped), and AQE skew-join splits the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.functions.text import fingerprint64, shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: [fp, doc_ids, n]."""
+    return (
+        docs.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+             F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per fingerprint group."""
+    w = Window.partitionBy(fingerprint64(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as an array column — pure column math.
+
+    h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sh.alias("shingles"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Shuffle key = (band, hash(band slice)) — never all-pairs. Returns
+    [a, b] with a < b, distinct.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.select(
+        "band", "bucket", F.col(id_col).alias("a")
+    )
+    right = banded.select(
+        "band", "bucket", F.col(id_col).alias("b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard over the candidate pairs only: [a, b, jaccard]."""
+    sh = signatures.select(F.col(id_col), F.col("shingles"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
+    joined = candidates.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "a", "b", (inter / F.greatest(union, F.lit(1.0))).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline → verified pairs [a, b, jaccard]."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(cands, sigs, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted shingle index (no LSH, exact):
+    pairs sharing ≥1 shingle are scored — the brute-force oracle for
+    ``minhash_near_duplicates`` at test scale. Shuffle = explode on shingle.
+    """
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def simhash64(text_col, shingle_k: int = 2):
+    """64-bit SimHash as pure column math: per-shingle xxhash64, majority
+    vote per bit via sign aggregation over the shingle array."""
+    sh = shingles(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def _vote_merger(mask):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and break pyspark's higher-order-function binding
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for bit in range(64):
+        # two's-complement mask for the sign bit; plain power of two otherwise
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        votes = F.aggregate(hashes, F.lit(0), _vote_merger(mask))
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: candidates share at least one of ``blocks`` 16-bit
+    blocks (pigeonhole: hamming ≤ blocks-1 guarantees a shared block), then
+    exact hamming filter. Returns [a, b, hamming]."""
+    width = 64 // blocks
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    banded = sh.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("sim"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sim", "bb.block", "bb.key")
+    a = banded.select("block", "key", F.col(id_col).alias("a"), F.col("sim").alias("sim_a"))
+    b = banded.select("block", "key", F.col(id_col).alias("b"), F.col("sim").alias("sim_b"))
+    cands = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.select("a", "b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -199,7 +199,13 @@ def compile_criterion(df: DataFrame, crit: str) -> DataFrame:
         filter_col = df.columns[int(filter_idx)]
         asc = parts[-1].lower() == "asc"
         order = F.col(sort_col).asc() if asc else F.col(sort_col).desc()
-        w = Window.partitionBy(filter_col).orderBy(order)
+        # the reference relies on pandas stable sort + input order for ties
+        # (edge_list.py:172-173); distributed execution has no input order, so
+        # ties break deterministically on the remaining columns ascending
+        tiebreak = [
+            F.col(c).asc() for c in df.columns if c not in (sort_col, filter_col)
+        ]
+        w = Window.partitionBy(filter_col).orderBy(order, *tiebreak)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -208,6 +214,14 @@ def compile_criterion(df: DataFrame, crit: str) -> DataFrame:
 
     col_name = df.columns[int(head)]
     col = F.col(col_name)
+
+    # reversed containment form: 'idx;VALUE;not in x' / 'idx;VALUE;in x'
+    # (reference edge_list.py:179-181 ``crit.endswith('x')`` branch, used by
+    # resources/resource_info.txt '9;affects;not in x')
+    m_in = re.match(r"^\s*(not\s+)?in\s+x\s*$", parts[2]) if len(parts) > 2 else None
+    if m_in:
+        pred = col.contains(op)  # op position holds the VALUE in this form
+        return df.filter(~pred if m_in.group(1) else pred)
 
     if op.startswith("."):  # string-method predicate, e.g. .startswith('gene')
         m = re.match(r"\.(\w+)\((.*)\)", op)
@@ -235,11 +249,12 @@ def compile_criterion(df: DataFrame, crit: str) -> DataFrame:
         return df.filter(col.isin(list(vals)))
 
     value = _parse_value(value_src)
-    if isinstance(value, (int, float)):
-        # numeric compare: drop 'None' cells, cast (edge_list.py:184-188)
+    col_is_string = dict(df.dtypes)[col_name] == "string"
+    if isinstance(value, (int, float)) and col_is_string:
+        # numeric compare on a string column: drop 'None' cells, cast
+        # (edge_list.py:184-188); native numeric columns compare directly
         df = df.filter(col != "None")
-        cast_col = col.cast("double" if isinstance(value, float) else "long")
-        col = cast_col
+        col = col.cast("double" if isinstance(value, float) else "long")
     ops = {
         "==": lambda c, v: c == v,
         "!=": lambda c, v: c != v,
@@ -299,26 +314,37 @@ def data_reducer(df: DataFrame, cols: str) -> DataFrame:
 def label_formatter(df: DataFrame, label_criteria: str) -> DataFrame:
     """Regex prefix strip / label prepend per node column (edge_list.py:218-245).
 
-    ``label_criteria`` = 'cut;fmt1;fmt2': for each node column, if the cut
-    string appears → replace '(^.*cut)' with fmt; if no cut → prepend fmt.
+    ``label_criteria`` = 'cut;fmt1;fmt2' (the resource_info ``source_labels``
+    field, e.g. ':;MESH_;'). Reference semantics are COLUMN-level: if no cell
+    in the column contains the cut char (or cut is empty), prepend the
+    formatter to every cell; otherwise regex-strip everything up to and
+    including the cut, substituting the formatter (edge_list.py:237-241).
+
+    The any-cell-contains probe is one cheap aggregate per node column (2
+    columns, config-scale — not a per-row decision, which would diverge on
+    mixed columns).
     """
     parts = label_criteria.split(";")
     cut = parts[0]
     for idx, formatter in enumerate(parts[1:]):
         col_name = df.columns[idx]
         col = F.col(col_name).cast("string")
-        if formatter == "" and cut == "":
+        if cut == "" and formatter == "":
             continue
         if cut == "":
-            df = df.withColumn(col_name, F.concat(F.lit(formatter), col))
+            any_cut = False
         else:
-            has_cut = col.contains(cut)
-            stripped = F.regexp_replace(col, "(^.*" + re.escape(cut) + ")", formatter)
-            prepended = F.concat(F.lit(formatter), col) if formatter != "" else col
-            # reference prepends only when NO cell contains the cut; per-row
-            # approximation: cells without the cut keep original unless the
-            # whole column lacks it — checked by the caller at config level.
-            df = df.withColumn(col_name, F.when(has_cut, stripped).otherwise(prepended if formatter != "" else col))
+            any_cut = bool(
+                df.agg(F.max(col.contains(cut)).alias("m")).collect()[0].m
+            )
+        if (cut == "" and formatter != "") or not any_cut:
+            if formatter != "":
+                df = df.withColumn(col_name, F.concat(F.lit(formatter), col))
+        elif cut != "":
+            df = df.withColumn(
+                col_name,
+                F.regexp_replace(col, "(^.*" + re.escape(cut) + ")", formatter),
+            )
     return df
 
 
@@ -380,8 +406,12 @@ def build_edge_list(
     df = read_edge_source(spark, source_path, config.delimiter)
     df = filter_data(df, config.filter_criteria, config.evidence_criteria)
     df = data_reducer(df, config.column_idx)
-    if label_criteria:
-        df = label_formatter(df, label_criteria)
+    # the source_labels config field IS the label spec (e.g. ':;MESH_;')
+    effective_labels = (
+        label_criteria if label_criteria is not None else config.source_labels
+    )
+    if effective_labels and effective_labels not in ("None", ";;"):
+        df = label_formatter(df, effective_labels)
     df = apply_identifier_maps(df, config.identifier_maps, map_frames or {})
     df = df.filter((F.col("sub_id") != "None") & (F.col("obj_id") != "None"))
     return df.select(

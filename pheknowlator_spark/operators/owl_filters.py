@@ -55,58 +55,99 @@ def _ns_pred(col, namespaces: tuple[str, ...]):
     return pred
 
 
-def filter_owl_semantics(
-    triples: DataFrame,
-    keep_relations_ns: bool = True,
-) -> DataFrame:
-    """P5: keep URI-URI-URI triples whose subject and object are typed
-    owl:Class or owl:NamedIndividual and predicate is an owl:ObjectProperty
-    or rdfs:subClassOf / rdf:type; drop top-level/support-namespace nodes
-    (ISO/SUMO/BFO, IAO/SWO/OBI/UBPROP) in subject/object position and
-    (optionally) RO relations as nodes.
+def _is_bnode(col):
+    return col.startswith("_:") | col.startswith("bnode:")
 
-    Parity: removes_edges_with_owl_semantics (owlnets.py:140-191).
 
-    Scale: classes/props node-kind tables come from the same triple scan and
-    are orders of magnitude smaller than the triple table — broadcast them.
+def _exclusion_ok(triples: DataFrame) -> DataFrame:
+    """Namespace-exclusion predicate shared by P5 and the relaxed variant
+    (owlnets.py:159,209-212): subject/object may not be in top-level,
+    relations, or support namespaces; predicate may not be in support."""
+    excl = TOP_LEVEL_NS + RELATIONS_NS + SUPPORT_NS
+    return triples.filter(
+        (~_ns_pred(F.col("s"), excl))
+        & (~_ns_pred(F.col("o"), excl))
+        & (~_ns_pred(F.col("p"), SUPPORT_NS))
+    )
+
+
+def filter_owl_semantics(triples: DataFrame) -> DataFrame:
+    """P5: the reference's removes_edges_with_owl_semantics
+    (owlnets.py:140-191), re-expressed as broadcast semi/left joins instead
+    of a per-triple ``graph.triples((x, RDF.type, None))`` probe loop.
+
+    Keep a URI-URI-URI triple when, after namespace exclusions, either:
+    * s and o are typed owl:Class/owl:NamedIndividual (and contain no '#'),
+      and p is typed with owl:ObjectProperty among its types; or
+    * s and o are typed as above, p has NO rdf:type triples at all, and p is
+      rdfs:subClassOf or rdf:type; or
+    * p is rdfs:subClassOf and o is outside the OWL namespace and is not
+      an ObsoleteClass (regardless of s/o typing).
     """
-    uri_triples = triples.filter(~F.col("o_is_literal"))
-    classes = _typed_as(triples, OWL_CLASS).unionByName(
-        _typed_as(triples, OWL_NAMED_INDIVIDUAL)
-    ).distinct()
-    props = _typed_as(triples, OWL_OBJECT_PROPERTY)
+    owl_ns = "http://www.w3.org/2002/07/owl#"
+    uri_triples = _exclusion_ok(
+        triples.filter(
+            (~F.col("o_is_literal")) & (~_is_bnode(F.col("s"))) & (~_is_bnode(F.col("o")))
+        )
+    )
+    classes = (
+        _typed_as(triples, OWL_CLASS)
+        .unionByName(_typed_as(triples, OWL_NAMED_INDIVIDUAL))
+        .filter(~F.col("node").contains("#"))
+        .distinct()
+    )
+    obj_props = _typed_as(triples, OWL_OBJECT_PROPERTY)
+    typed_preds = (
+        triples.filter(F.col("p") == RDF_TYPE)
+        .select(F.col("s").alias("node"))
+        .distinct()
+    )
 
-    node_ns = TOP_LEVEL_NS + SUPPORT_NS + (RELATIONS_NS if keep_relations_ns else ())
-    good_nodes = classes.filter(~_ns_pred(F.col("node"), node_ns))
-
-    out = (
+    flagged = (
         uri_triples.join(
-            F.broadcast(good_nodes.withColumnRenamed("node", "s")), "s", "left_semi"
-        )
+            F.broadcast(classes.select(F.col("node").alias("s"), F.lit(True).alias("__s_cls"))),
+            "s", "left")
         .join(
-            F.broadcast(good_nodes.withColumnRenamed("node", "o")), "o", "left_semi"
+            F.broadcast(classes.select(F.col("node").alias("o"), F.lit(True).alias("__o_cls"))),
+            "o", "left")
+        .join(
+            F.broadcast(obj_props.select(F.col("node").alias("p"), F.lit(True).alias("__p_obj"))),
+            "p", "left")
+        .join(
+            F.broadcast(typed_preds.select(F.col("node").alias("p"), F.lit(True).alias("__p_typed"))),
+            "p", "left")
+    )
+    s_cls = F.coalesce("__s_cls", F.lit(False))
+    o_cls = F.coalesce("__o_cls", F.lit(False))
+    p_obj = F.coalesce("__p_obj", F.lit(False))
+    p_typed = F.coalesce("__p_typed", F.lit(False))
+    keep = (
+        (s_cls & o_cls & p_obj)
+        | (s_cls & o_cls & ~p_typed & F.col("p").isin([RDFS_SUBCLASSOF, RDF_TYPE]))
+        | (
+            (F.col("p") == RDFS_SUBCLASSOF)
+            & (~F.col("o").startswith(owl_ns))
+            & (~F.col("o").contains("ObsoleteClass"))
         )
     )
-    pred_ok = (
-        (F.col("p") == RDFS_SUBCLASSOF)
-        | (F.col("p") == RDF_TYPE)
-    )
-    out = out.join(
-        F.broadcast(props.withColumnRenamed("node", "p")), "p", "left_semi"
-    ).unionByName(out.filter(pred_ok)).distinct()
-    return out
+    return flagged.filter(keep).drop("__s_cls", "__o_cls", "__p_obj", "__p_typed").distinct()
 
 
 def clean_decoded_graph(triples: DataFrame) -> DataFrame:
-    """P5 relaxed variant for post-decode graphs (owlnets.py:193-225):
-    keep non-literal triples not touching owl:* vocabulary nodes."""
+    """Relaxed post-decode filter (cleans_decoded_graph, owlnets.py:193-225):
+    URI-URI-URI triples passing namespace exclusions whose subject and
+    object are outside the OWL and XMLSchema namespaces."""
     owl_ns = "http://www.w3.org/2002/07/owl#"
-    return triples.filter(
-        (~F.col("o_is_literal"))
-        & (~F.col("s").startswith(owl_ns))
-        & (~F.col("o").startswith(owl_ns))
-        & (F.col("p") != RDF_TYPE)
-        | ((F.col("p") == RDF_TYPE) & (~F.col("o").startswith(owl_ns)) & (~F.col("o_is_literal")))
+    return _exclusion_ok(
+        triples.filter(
+            (~F.col("o_is_literal"))
+            & (~_is_bnode(F.col("s")))
+            & (~_is_bnode(F.col("o")))
+            & (~F.col("s").startswith(owl_ns))
+            & (~F.col("o").startswith(owl_ns))
+            & (~F.col("s").contains("XMLSchema"))
+            & (~F.col("o").contains("XMLSchema"))
+        )
     )
 
 

@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk``  — exact cosine top-k: query-set × corpus join with
+  the dot product as ``F.aggregate``/``zip_with`` column math (JVM-side),
+  window top-k. Baseline/oracle path; cost Q×N — fine for dimension-sized
+  query sets.
+* ``lsh_topk``          — random-hyperplane LSH bucketing: corpus and
+  queries hash to sign-pattern buckets; candidates share a bucket in any of
+  ``tables`` hash tables; exact cosine re-rank on candidates only. The 100
+  TB scale path: shuffle keys are (table, bucket), never all-pairs.
+* ``ivf_topk``          — IVF-style coarse quantization: corpus assigned to
+  nearest of k sampled centroids (one broadcast join), queries probe
+  ``nprobe`` nearest centroids.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: [query_id, vec_id, score, rank]."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = q.crossJoin(c).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-seeded, no RNG
+    state — reproducible across cluster sizes)."""
+    import hashlib
+    planes = []
+    for b in range(bits):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"lsh:{table}:{b}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big", signed=True) / 2**63
+            vec.append(v)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / n for v in vec])
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH + exact re-rank."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+
+    c_buckets = []
+    q_buckets = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        c_buckets.append(
+            c.select(
+                id_col,
+                "__cv",
+                F.lit(t).alias("table"),
+                _bucket_expr(F.col("__cv"), planes).alias("bucket"),
+            )
+        )
+        q_buckets.append(
+            q.select(
+                query_id_col,
+                "__qv",
+                F.lit(t).alias("table"),
+                _bucket_expr(F.col("__qv"), planes).alias("bucket"),
+            )
+        )
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+
+    cands = (
+        qb.join(cb, ["table", "bucket"])
+        .select(query_id_col, id_col, "__qv", "__cv")
+        .distinct()
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF coarse quantization: centroids = deterministic corpus sample
+    (first n by id — cheap stand-in for k-means; swap in k-means|| offline
+    at production scale), corpus partitioned by nearest centroid, queries
+    probe ``nprobe`` cells."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    # assign each corpus vector to nearest centroid (broadcast centroids)
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("__cv"), F.col("__cent")))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    corpus_cells = (
+        assigned.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cv", "centroid_id")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    q_assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("__qv"), F.col("__cent")))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    q_cells = (
+        q_assigned.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qv", "centroid_id")
+    )
+    scored = q_cells.join(corpus_cells, "centroid_id").select(
+        query_id_col, id_col, cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

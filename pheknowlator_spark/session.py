@@ -28,6 +28,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+
+    # make the package importable inside Python workers regardless of the
+    # driver's cwd — local-mode workers inherit PYTHONPATH from this
+    # process; on a real cluster ship the package with --py-files instead
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         try:
             n = int(cpus)
@@ -42,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE partition coalescing active under persisted subtrees —
+        # otherwise every shuffle below a .persist() runs at the full
+        # spark.sql.shuffle.partitions fan-out regardless of data size
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -1,0 +1,81 @@
+"""Structured Streaming surface.
+
+The reference is wholly batch (SURVEY §2.11); this module makes the
+engine's aggregations streaming-ready: the same transformations run over
+``readStream`` sources with watermarked event-time windows, and the
+webtext pipeline runs incrementally via ``foreachBatch`` (each micro-batch
+is the batch pipeline over new pages, appended to the triple store through
+the same StageStore layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts by event_type; works identically on a batch
+    DataFrame and a stream (watermark applied only when streaming)."""
+    src = events
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
+        # the cast is value-preserving
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour"), "event_type", "cnt")
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over an events directory (one file per
+    micro-batch in tests)."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.parquet(path)
+        reader = reader.schema(static.schema)
+    return reader.option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def incremental_triples(
+    pages_stream: DataFrame,
+    entity_dictionary: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    min_pages: int = 1,
+):
+    """Incremental webtext→triples: run the batch pipeline per micro-batch
+    via foreachBatch and append to a parquet triple table.
+
+    Co-mention scoring is per-batch (the global n_pages re-score runs in
+    the nightly batch pass — the streaming path optimizes freshness, the
+    batch path optimizes completeness; both share every operator).
+    """
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = run_pipeline(batch_df, entity_dictionary, min_pages=min_pages)
+        (
+            out["triples"]
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -22,13 +22,16 @@ from pheknowlator_spark.operators.edge_list import (
     read_edge_source,
 )
 
+# mirrors reference tests/data/resource_info.txt field layout:
+# edge_type|source_labels|data_type|edge_relation|uri1|uri2|delimiter|
+# column_idx|identifier_maps|evidence_criteria|filter_criteria
 RESOURCE_INFO = (
-    "chemical-disease|chemical-disease|class-class|RO_0002606|"
+    "chemical-disease|:;MESH_;|class-class|RO_0002606|"
     "http://purl.obolibrary.org/obo/|http://purl.obolibrary.org/obo/|t|1;4|"
-    "0:mesh_chebi;1:disease_doid|None|5;!=;' '\n"
-    "gene-disease|gene-disease|entity-class|RO_0003302|"
+    "0:mesh_chebi;1:disease_doid|5;!=;''|None\n"
+    "gene-disease|;;|entity-class|RO_0003302|"
     "https://www.ncbi.nlm.nih.gov/gene/|http://purl.obolibrary.org/obo/|t|0;2|"
-    "1:disease_doid|None|4;>=;0.70\n"
+    "1:disease_doid|4;>=;0.70|None\n"
 )
 
 
@@ -39,10 +42,14 @@ def test_parse_resource_info():
     assert cd.data_type == "class-class"
     assert cd.uri == ("http://purl.obolibrary.org/obo/",) * 2
     assert cd.column_idx == "1;4"
-    assert cd.filter_criteria == "5;!=;' '"
+    assert cd.source_labels == ":;MESH_;"
+    # quote-strip dance (edge_list.py:55-56): |5;!=;''| → "5;!=;" →
+    # filter_fixer later yields "5;!=;None"
+    assert cd.evidence_criteria == "5;!=;"
+    assert cd.filter_criteria == "None"
     gd = cfg["gene-disease"]
     assert gd.edge_relation == "RO_0003302"
-    assert gd.filter_criteria == "4;>=;0.70"
+    assert gd.evidence_criteria == "4;>=;0.70"
 
 
 @pytest.fixture(scope="module")
@@ -68,7 +75,7 @@ def chem_disease_tsv(tmp_path_factory):
         "# generated for tests",
         "ChemicalName\tChemicalID\tCasRN\tDiseaseName\tDiseaseID\tDirectEvidence",
         "10074-G5\tC534883\tNone\tAdenocarcinoma\tMESH:D000230\tmarker/mechanism",
-        "10074-G5\tC534883\tNone\tLiver disease\tMESH:D008107\t ",
+        "10074-G5\tC534883\tNone\tLiver disease\tMESH:D008107\t",
         "Abrine\tC026591\tNone\tCancer\tMESH:D009369\ttherapeutic",
     ]
     p.write_text("\n".join(rows) + "\n")
@@ -96,11 +103,21 @@ def test_filter_numeric_ge(spark, gene_disease_tsv):
     assert out.count() == 3
 
 
-def test_filter_not_equals_space(spark, chem_disease_tsv):
+def test_filter_not_equals_empty(spark, chem_disease_tsv):
     df = read_edge_source(spark, chem_disease_tsv, "t")
-    out = filter_data(df, "5;!=;' '", "None")
-    # row with blank DirectEvidence drops (blank cell → 'None' then != ' ')
+    # as produced by parse_resource_info from |5;!=;''| — fixer → "5;!=;None",
+    # dropping rows whose (null-filled) evidence cell is 'None'
+    out = filter_data(df, "None", "5;!=;")
     assert out.count() == 2
+
+
+def test_filter_reversed_containment(spark, chem_disease_tsv):
+    df = read_edge_source(spark, chem_disease_tsv, "t")
+    # '5;marker;not in x' → keep rows whose evidence does NOT contain 'marker'
+    out = filter_data(df, "5;marker;not in x", "None")
+    assert out.count() == 2
+    out2 = filter_data(df, "5;marker;in x", "None")
+    assert out2.count() == 1
 
 
 def test_filter_in_list(spark, chem_disease_tsv):
@@ -132,7 +149,7 @@ def test_filter_unknown_op_raises(spark, gene_disease_tsv):
 
 def test_fix_criteria():
     assert fix_criteria(";;") == "None;None;None"
-    assert fix_criteria("5;!=;' '") == "5;!=;''"  # space inside quotes stripped
+    assert fix_criteria("5;!=;") == "5;!=;None"  # stripped '' → empty → None
     assert fix_criteria("1;.startswith('gene');") == "1;.startswith('gene');"
 
 

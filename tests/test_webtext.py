@@ -1,0 +1,176 @@
+"""Webtext front-end tests (M2/M3): extraction byte-identity, Aho-Corasick
+mention detection, link scoring, canonicalization CC, co-mention edges, and
+the full pages→triples pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.sources.pages import (
+    entity_dictionary,
+    generate_pages,
+)
+from pheknowlator_spark.webtext.canonicalize import build_canonical_map, rewrite_triples
+from pheknowlator_spark.webtext.extract import html_to_text, verify_extraction, with_extracted_text
+from pheknowlator_spark.webtext.linking import salted_join, score_mentions
+from pheknowlator_spark.webtext.mentions import AhoCorasick, build_automaton, detect_mentions
+from pheknowlator_spark.webtext.pipeline import derive_comention_edges, run_pipeline
+
+
+# ---------------- extraction ----------------
+
+def test_html_to_text_deterministic_and_clean():
+    html = (
+        b"<html><head><title>t</title><script>var x = '<p>';</script>"
+        b"<style>p{}</style></head><body><p>Hello &amp; <b>world</b>!</p>"
+        b"<!-- note --></body></html>"
+    )
+    out = html_to_text(html)
+    assert out == "t Hello & world !"
+    assert html_to_text(html) == out  # deterministic
+
+
+def test_extraction_invariant_on_generated_pages(spark):
+    pages = generate_pages(spark, 50, partitions=4)
+    assert verify_extraction(pages).count() == 0
+
+
+def test_generated_pages_deterministic(spark):
+    a = generate_pages(spark, 30, partitions=2).orderBy("url").collect()
+    b = generate_pages(spark, 30, partitions=5).orderBy("url").collect()
+    assert [(r.url, r.text, bytes(r.html)) for r in a] == [
+        (r.url, r.text, bytes(r.html)) for r in b
+    ]
+
+
+# ---------------- Aho-Corasick ----------------
+
+def test_aho_corasick_basic():
+    ac = build_automaton([("cancer", "DOID_162"), ("lung cancer", "DOID_1324")])
+    hits = ac.find("Lung cancer kills; cancer is bad.")
+    # longest-leftmost: 'Lung cancer' wins over inner 'cancer'
+    assert [(h[0].lower(), h[3]) for h in hits] == [
+        ("lung cancer", ("DOID_1324",)),
+        ("cancer", ("DOID_162",)),
+    ]
+
+
+def test_aho_corasick_word_boundaries():
+    ac = build_automaton([("cold", "DOID_3083")])
+    assert ac.find("scolded") == []
+    assert len(ac.find("a cold day")) == 1
+    assert len(ac.find("cold.")) == 1
+
+
+def test_aho_corasick_ambiguous_surface():
+    ac = build_automaton([("cold", "DOID_3083"), ("cold", "CHEBI_X")])
+    hits = ac.find("the cold")
+    assert hits[0][3] == ("CHEBI_X", "DOID_3083")  # sorted candidates
+
+
+def test_detect_mentions_spark(spark):
+    pages = spark.createDataFrame(
+        [("u1", "aspirin treats hepatomegaly"), ("u2", "no entities here at all")],
+        "url string, text string",
+    )
+    mentions = detect_mentions(pages, entity_dictionary(spark))
+    rows = {(r.url, r.surface, r.curie) for r in mentions.collect()}
+    assert ("u1", "aspirin", "CHEBI_15365") in rows
+    assert ("u1", "hepatomegaly", "HP_0002240") in rows
+    assert not any(u == "u2" for u, _, _ in rows)
+
+
+# ---------------- linking ----------------
+
+def test_score_mentions_resolves_ambiguity_deterministically(spark):
+    m = spark.createDataFrame(
+        [("u1", "cold", 4, 8, "DOID_3083"), ("u1", "cold", 4, 8, "CHEBI_X")],
+        "url string, surface string, begin int, end int, curie string",
+    )
+    out = score_mentions(m).collect()
+    assert len(out) == 1
+    assert out[0].curie == "CHEBI_X"  # lexicographic tie-break
+
+
+def test_score_mentions_priors(spark):
+    m = spark.createDataFrame(
+        [("u1", "cold", 4, 8, "DOID_3083"), ("u1", "cold", 4, 8, "CHEBI_X")],
+        "url string, surface string, begin int, end int, curie string",
+    )
+    priors = spark.createDataFrame([("DOID_3083", 10.0)], "curie string, prior double")
+    out = score_mentions(m, priors).collect()
+    assert out[0].curie == "DOID_3083"
+
+
+def test_salted_join_matches_plain_join(spark):
+    facts = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(20)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, d int")
+    plain = {(r.k, r.v, r.d) for r in facts.join(dim, "k").collect()}
+    salted = {(r.k, r.v, r.d) for r in salted_join(facts, dim, "k", salts=4).collect()}
+    assert salted == plain
+
+
+# ---------------- canonicalization ----------------
+
+def test_connected_components_canonical_map(spark):
+    same_as = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "a string, b string"
+    )
+    cmap = {
+        (r.curie, r.canonical) for r in build_canonical_map(same_as).collect()
+    }
+    assert cmap == {("b", "a"), ("c", "a"), ("y", "x")}
+
+
+def test_rewrite_triples(spark):
+    triples = spark.createDataFrame(
+        [("c", "p1", "y", False, None, None)],
+        "s string, p string, o string, o_is_literal boolean, o_lang string, o_datatype string",
+    )
+    cmap = spark.createDataFrame(
+        [("c", "a"), ("y", "x")], "curie string, canonical string"
+    )
+    out = rewrite_triples(triples, cmap).collect()[0]
+    assert (out.s, out.o) == ("a", "x")
+
+
+# ---------------- co-mention edges + full pipeline ----------------
+
+def test_derive_comention_edges(spark):
+    linked = spark.createDataFrame(
+        [("u1", "CHEBI_15365"), ("u1", "DOID_409"), ("u2", "CHEBI_15365"),
+         ("u2", "DOID_409"), ("u3", "DOID_409"), ("u3", "PR_P04637")],
+        "url string, curie string",
+    )
+    edges = derive_comention_edges(linked)
+    rows = {(r.edge_type, r.sub_id, r.obj_id, r.n_pages) for r in edges.collect()}
+    # CHEBI before DOID lexically; namespace pair CHEBI/DOID → chemical-disease
+    assert ("chemical-disease", "CHEBI_15365", "DOID_409", 2) in rows
+    # DOID+PR → protein-disease with swap (PR is subject)
+    assert ("protein-disease", "PR_P04637", "DOID_409", 1) in rows
+
+
+def test_full_pipeline_pages_to_triples(spark):
+    pages = generate_pages(spark, 60, partitions=4)
+    out = run_pipeline(pages, entity_dictionary(spark), min_pages=2)
+    triples = out["triples"]
+    n = triples.count()
+    assert n > 0
+    # triples are URI-only from class-class construction
+    assert triples.filter(F.col("o_is_literal")).count() == 0
+    # pkt-hash subjects present
+    assert (
+        triples.filter(F.col("s").startswith(
+            "https://github.com/callahantiff/PheKnowLator/pkt/N")).count() > 0
+    )
+    assert out["construction_errors"].count() == 0
+
+
+def test_pipeline_deterministic_across_parallelism(spark):
+    pages8 = generate_pages(spark, 40, partitions=8)
+    pages2 = generate_pages(spark, 40, partitions=2)
+    d = entity_dictionary(spark)
+    t1 = {(r.s, r.p, r.o) for r in run_pipeline(pages8, d, min_pages=2)["triples"].collect()}
+    t2 = {(r.s, r.p, r.o) for r in run_pipeline(pages2, d, min_pages=2)["triples"].collect()}
+    assert t1 == t2 and len(t1) > 0
