@@ -479,6 +479,141 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, 32), use_fake=True)
 
 
+def q_edge_list_stats(spark, sf_dir):
+    from pheknowlator_spark.operators.edge_list import edge_list_stats
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_returnflag").alias("edge_type"),
+        F.col("l_orderkey").cast("string").alias("sub_id"),
+        F.col("l_partkey").cast("string").alias("obj_id"),
+    )
+    return edge_list_stats(edges)
+
+
+def q_synonym_dictionary(spark, sf_dir):
+    from pheknowlator_spark.operators.stats import synonym_dictionary
+
+    part = _read(spark, sf_dir, "part")
+    syn_pred = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
+    triples = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("s"),
+        F.lit(syn_pred).alias("p"),
+        F.col("p_name").alias("o"),
+        F.lit(True).alias("o_is_literal"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_datatype"),
+    )
+    d = synonym_dictionary(triples, [syn_pred])
+    return d.select(
+        "surface", "match_type", F.concat_ws("|", "curies").alias("curie_list")
+    )
+
+
+def q_self_loop_filter(spark, sf_dir):
+    from pheknowlator_spark.operators.owl_filters import remove_self_loops
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = li.select(
+        (F.col("l_partkey") % 10).cast("string").alias("s"),
+        F.lit("p").alias("p"),
+        (F.col("l_suppkey") % 10).cast("string").alias("o"),
+    ).distinct()
+    return remove_self_loops(triples)
+
+
+def q_graph_difference(spark, sf_dir):
+    from pheknowlator_spark.operators.owl_filters import graph_difference
+
+    t = _lineitem_triples(spark, sf_dir).distinct()
+    subset = t.filter(F.col("p") == "N")
+    return graph_difference(t, subset)
+
+
+def q_deprecated_classes(spark, sf_dir):
+    from pheknowlator_spark.operators.owl_filters import deprecated_classes
+
+    orders = _read(spark, sf_dir, "orders")
+    owl_dep = "http://www.w3.org/2002/07/owl#deprecated"
+    triples = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey")).alias("s"),
+        F.when(F.col("o_orderstatus") == "F", owl_dep).otherwise("status").alias("p"),
+        F.when(F.col("o_orderstatus") == "F", "true").otherwise(
+            F.col("o_orderstatus")
+        ).alias("o"),
+        F.lit(True).alias("o_is_literal"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_datatype"),
+    )
+    return deprecated_classes(triples)
+
+
+def q_explode_delimited(spark, sf_dir):
+    # F8: multi-valued delimiter-packed cell → rows (explodes_data,
+    # reference pkt_kg/utils/data_utils.py:293-330)
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.explode(F.split(F.col("p_type"), " ")).alias("type_word")
+    )
+
+
+def q_metadata_triples(spark, sf_dir):
+    from pheknowlator_spark.operators.metadata import metadata_triples
+
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    metadata = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("uri"),
+        F.lit("nodes").alias("kind"),
+        F.col("n_name").alias("label"),
+        F.concat(F.lit("region "), F.col("n_regionkey")).alias("description"),
+        F.array(F.lower(F.col("n_name"))).alias("synonyms"),
+    )
+    nodes = customer.select(
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("uri")
+    ).distinct()
+    return metadata_triples(nodes, metadata).select("s", "p", "o")
+
+
+def q_bnode_namespace_roundtrip(spark, sf_dir):
+    from pheknowlator_spark.functions.rdf import (
+        add_bnode_namespace,
+        remove_bnode_namespace,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit("bnode:N"), F.col("o_orderkey")))
+        .otherwise(F.concat(F.lit("http://x/O"), F.col("o_orderkey")))
+        .alias("node")
+    )
+    return raw.select(
+        "node",
+        add_bnode_namespace(F.col("node")).alias("namespaced"),
+        remove_bnode_namespace(add_bnode_namespace(F.col("node"))).alias(
+            "round_trip"
+        ),
+    )
+
+
+def q_canonical_rewrite(spark, sf_dir):
+    from pheknowlator_spark.webtext.canonicalize import rewrite_triples
+
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    triples = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("s"),
+        F.lit("locatedIn").alias("p"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("o"),
+    )
+    cmap = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("curie"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("canonical"),
+    )
+    return rewrite_triples(triples, cmap)
+
+
 def q_owlnets_decode(spark, sf_dir):
     """OWL-NETS decode over a deterministic synthetic ontology exercising
     restriction / union / intersection / negation / axiom rules. Iterative
@@ -561,6 +696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
         "events_windowed": q_events_windowed,
+        "edge_list_stats": q_edge_list_stats,
+        "synonym_dictionary": q_synonym_dictionary,
+        "self_loop_filter": q_self_loop_filter,
+        "graph_difference": q_graph_difference,
+        "deprecated_classes": q_deprecated_classes,
+        "explode_delimited": q_explode_delimited,
+        "metadata_triples": q_metadata_triples,
+        "bnode_namespace_roundtrip": q_bnode_namespace_roundtrip,
+        "canonical_rewrite": q_canonical_rewrite,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
@@ -800,5 +944,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "edge_list_stats": """
+            SELECT l_returnflag AS edge_type,
+                   count(DISTINCT (CAST(l_orderkey AS VARCHAR),
+                                   CAST(l_partkey AS VARCHAR))) AS n_edges,
+                   count(DISTINCT CAST(l_orderkey AS VARCHAR)) AS n_subjects,
+                   count(DISTINCT CAST(l_partkey AS VARCHAR)) AS n_objects
+            FROM lineitem GROUP BY 1
+        """,
+        "synonym_dictionary": """
+            SELECT lower(p_name) AS surface,
+                   'http://www.geneontology.org/formats/oboInOwl#hasExactSynonym'
+                     AS match_type,
+                   array_to_string(list_sort(list(DISTINCT 'P' || p_partkey)), '|')
+                     AS curie_list
+            FROM part GROUP BY 1
+        """,
+        "self_loop_filter": """
+            SELECT DISTINCT CAST(l_partkey % 10 AS VARCHAR) AS s, 'p' AS p,
+                   CAST(l_suppkey % 10 AS VARCHAR) AS o
+            FROM lineitem
+            WHERE CAST(l_partkey % 10 AS VARCHAR) <> CAST(l_suppkey % 10 AS VARCHAR)
+        """,
+        "graph_difference": f"""
+            WITH t AS (SELECT DISTINCT s, p, o FROM ({_LINEITEM_TRIPLES_SQL}))
+            SELECT s, p, o FROM t WHERE p <> 'N'
+        """,
+        "deprecated_classes": """
+            SELECT DISTINCT 'O' || o_orderkey AS node
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "explode_delimited": """
+            SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+            FROM part
+        """,
+        "metadata_triples": """
+            WITH m AS (
+              SELECT DISTINCT 'N' || n_nationkey AS uri, n_name,
+                     'region ' || n_regionkey AS descr
+              FROM nation JOIN customer ON n_nationkey = c_nationkey)
+            SELECT DISTINCT uri AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+                   n_name AS o FROM m
+            UNION
+            SELECT DISTINCT uri, 'http://purl.obolibrary.org/obo/IAO_0000115',
+                   descr FROM m
+            UNION
+            SELECT DISTINCT uri,
+                   'http://www.geneontology.org/formats/oboInOwl#hasExactSynonym',
+                   lower(n_name) FROM m
+        """,
+        "bnode_namespace_roundtrip": f"""
+            WITH raw AS (
+              SELECT CASE WHEN o_orderkey % 3 = 0
+                          THEN 'bnode:N' || o_orderkey
+                          ELSE 'http://x/O' || o_orderkey END AS node
+              FROM orders)
+            SELECT node,
+              CASE WHEN node LIKE 'bnode:%'
+                   THEN '{PKT}bnode/' || substring(node, 7)
+                   ELSE node END AS namespaced,
+              node AS round_trip
+            FROM raw
+        """,
+        "canonical_rewrite": """
+            SELECT 'C' || c_custkey AS s, 'locatedIn' AS p,
+                   coalesce('R' || n_regionkey, 'N' || c_nationkey) AS o
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
     }

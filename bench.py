@@ -24,7 +24,7 @@ from pheknowlator_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "12000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000"))
 
 HEADLINE = [
     "subclass_core_inverse",
@@ -88,20 +88,28 @@ def run_pipeline_job(spark) -> None:
     force(out["triples"])
 
 
-def _timed_pipeline(cores: int, reps: int) -> float:
-    """One session per level: warmup run (spawns+warms the Python worker
-    pool — this sandbox VM shows large system-CPU storms on cold worker
-    fleets), then best-of-reps."""
+def run_scan_job(spark) -> None:
+    """The corpus-scan stage alone (fused extract+quality+mention) — the
+    wall-time-dominant stage at 10^12-doc scale, and the one whose scaling
+    matters most (everything downstream runs on mention aggregates)."""
+    from pheknowlator_spark.sources.pages import entity_dictionary
+    from pheknowlator_spark.webtext.mentions import extract_and_detect
+
+    pages = spark.read.parquet(PAGES_DIR)
+    force(extract_and_detect(pages, entity_dictionary(spark), min_quality=0.4))
+
+
+def _timed(cores: int, reps: int, job) -> float:
     spark = get_spark(
         app_name=f"bench_c{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
-    run_pipeline_job(spark)  # warm
+    job(spark)  # warm python workers + JIT
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        run_pipeline_job(spark)
+        job(spark)
         best = min(best, time.time() - t0)
     spark.stop()
     return best
@@ -131,12 +139,15 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     quarter = SCALE_N
     full = 4 * SCALE_N
-    t_quarter = _timed_pipeline(quarter, reps)
-    t_full = _timed_pipeline(full, reps)
+    t_quarter = _timed(quarter, reps, run_pipeline_job)
+    t_full = _timed(full, reps, run_pipeline_job)
+    scan_quarter = _timed(quarter, reps, run_scan_job)
+    scan_full = _timed(full, reps, run_scan_job)
     pages_per_hour = N_PAGES / t_full * 3600
 
     thr_n, thr_4n = N_PAGES / t_quarter, N_PAGES / t_full
     efficiency = (thr_4n / thr_n) / (full / quarter)
+    scan_efficiency = (scan_quarter / scan_full) / (full / quarter)
     total = round(time.time() - t_total0, 3)
 
     print(
@@ -157,6 +168,9 @@ def main() -> None:
                     "throughput_n_pages_per_sec": round(thr_n, 2),
                     "throughput_4n_pages_per_sec": round(thr_4n, 2),
                     "efficiency_n_to_4n": round(efficiency, 3),
+                    "scan_stage_sec_n": round(scan_quarter, 3),
+                    "scan_stage_sec_4n": round(scan_full, 3),
+                    "scan_stage_efficiency_n_to_4n": round(scan_efficiency, 3),
                 },
             }
         )

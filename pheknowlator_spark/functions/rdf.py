@@ -160,6 +160,28 @@ def pkt_instance_hash(n1: Column, rel: Column, n2: Column, role: str) -> Column:
     return F.concat(F.lit(PKT + "N"), F.md5(core.cast("binary")))
 
 
+def add_bnode_namespace(col: Column | str, ns: str = PKT_BNODE) -> Column:
+    """Map anonymous-node ids into the reserved bnode namespace
+    (adds_namespace_to_bnodes, kg_utils.py:488-517): ``bnode:x``/``_:x`` →
+    ``<ns>x``; everything else passes through."""
+    c = _c(col)
+    local = F.when(c.startswith("bnode:"), F.substring(c, 7, 1 << 20)).when(
+        c.startswith("_:"), F.substring(c, 3, 1 << 20)
+    )
+    return F.when(local.isNotNull(), F.concat(F.lit(ns), local)).otherwise(c)
+
+
+def remove_bnode_namespace(col: Column | str, ns: str = PKT_BNODE) -> Column:
+    """Inverse of :func:`add_bnode_namespace`
+    (removes_namespace_from_bnodes, kg_utils.py:520-550): ``<ns>x`` →
+    ``bnode:x``."""
+    c = _c(col)
+    return F.when(
+        c.startswith(ns),
+        F.concat(F.lit("bnode:"), F.element_at(F.split(c, "/"), -1)),
+    ).otherwise(c)
+
+
 def strip_namespace(col: Column | str) -> Column:
     """CURIE extraction: last path segment (owlnets.py:164-166 pattern)."""
     c = _c(col)

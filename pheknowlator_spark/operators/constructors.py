@@ -151,29 +151,22 @@ def _resolved(edges: DataFrame) -> DataFrame:
     )
 
 
-def _entity_side(edges: DataFrame, side: int) -> DataFrame:
-    """Rows whose side-N node is an entity, keyed for the subclass-map join."""
-    kind, ident, uri = (
-        ("n1_kind", "sub_id", "uri1") if side == 1 else ("n2_kind", "obj_id", "uri2")
-    )
-    return edges.filter(F.col(kind) == "entity").select(
-        "edge_key",
-        "edge_type",
-        F.col(ident).alias("entity_id"),
-        F.concat(F.col(uri), F.col(ident)).alias("entity_uri"),
-    )
+def _map_triple_array(entity_uri, classes, approach: str):
+    """Per-entity map triples: ``ent rdfs:subClassOf obo:cls`` + class
+    typing (+ ``ent rdf:type owl:Class`` for instance builds) for every
+    mapped class (construction_approaches.py:185-186, 259-261)."""
 
+    def per_class(cls_id):
+        cls_uri = F.concat(F.lit(OBO), cls_id)
+        structs = [
+            uri_triple(entity_uri, RDFS_SUBCLASSOF, cls_uri),
+            uri_triple(cls_uri, RDF_TYPE, OWL_CLASS),
+        ]
+        if approach == "instance":
+            structs.append(uri_triple(entity_uri, RDF_TYPE, OWL_CLASS))
+        return F.array(*structs)
 
-def _with_edge_key(edges: DataFrame) -> DataFrame:
-    return edges.withColumn(
-        "edge_key",
-        F.md5(
-            F.concat_ws(
-                "", "edge_type", "sub_id", "obj_id", "rel",
-                F.coalesce("inv_rel", F.lit("")),
-            ).cast("binary")
-        ),
-    )
+    return F.flatten(F.transform(classes, per_class))
 
 
 def construct_edges(
@@ -181,89 +174,100 @@ def construct_edges(
     subclass_map: DataFrame | None = None,
     approach: str = "subclass",
 ) -> tuple[DataFrame, DataFrame]:
-    """G3/G4 dispatch: expand an edge table into KG triples.
+    """G3/G4 dispatch: expand an edge table into KG triples in ONE pass.
 
     Args:
         edges: DataFrame with ``EDGE_COLS`` (see module docstring).
-        subclass_map: ``[entity_id, class_id]`` exploded map (broadcast);
-            required when any edge has an entity side.
+        subclass_map: ``[entity_id, class_id]`` exploded map (dimension
+            table); required when any edge has an entity side.
         approach: ``'subclass'`` or ``'instance'``.
 
     Returns:
         (triples, errors): triples has FULL_TRIPLE_COLS + edge_type;
         errors has (edge_type, entity_id) — entities missing from the
         subclass map (parity: subclass_error dict,
-        construction_approaches.py:95-99).
+        construction_approaches.py:95-99). Edges with any unmapped entity
+        side emit no triples (construction_approaches.py:184,192).
 
-    Scale notes: the subclass map is a dimension table (≤10^7 rows) →
-    broadcast hash joins; the expansion itself is map-side explode; output
-    is hash-partitioned by the writer, not here.
+    Scale: the subclass map is grouped to ``entity -> array(classes)`` and
+    broadcast; the whole expansion is then per-row column math + a single
+    explode — zero shuffles, no persist, no multi-consumer subtrees. A
+    100 TB edge table streams through map-side.
     """
     if approach not in ("subclass", "instance"):
         raise ValueError(f"unknown construction approach: {approach}")
-    # the edge table feeds ≥4 consumers (entity sides, anti-join, map
-    # triples, core triples). Persist EAGERLY: a lazy persist shared by
-    # concurrent subtrees of one downstream action gets evaluated
-    # redundantly before the cache fills, re-running the whole upstream
-    # (possibly Python mention-detection) pipeline per consumer.
-    edges = _with_edge_key(_resolved(edges)).persist()
-    edges.count()
-
-    ent1 = _entity_side(edges, 1)
-    ent2 = _entity_side(edges, 2)
-    all_entities = ent1.unionByName(ent2)
+    resolved = _resolved(edges)
 
     spark = edges.sparkSession
     if subclass_map is None:
         subclass_map = spark.createDataFrame([], "entity_id string, class_id string")
+    grouped = subclass_map.groupBy("entity_id").agg(
+        F.sort_array(F.collect_set("class_id")).alias("__classes")
+    )
 
-    # entity → ontology-class mapping; misses drop the whole edge
-    mapped = all_entities.join(
-        F.broadcast(subclass_map.select("entity_id", "class_id")),
-        "entity_id",
-        "left",
-    ).persist()
-    errors = (
-        mapped.filter(F.col("class_id").isNull())
-        .select("edge_type", "entity_id")
-        .distinct()
-    )
-    bad_edges = (
-        mapped.filter(F.col("class_id").isNull()).select("edge_key").distinct()
-    )
-    good_edges = edges.join(bad_edges, "edge_key", "left_anti")
-
-    # --- map triples: ent subClassOf obo:cls (+ typing; instance adds
-    # ent rdf:type owl:Class — construction_approaches.py:185-186, 259-261)
-    ent_cls = (
-        mapped.filter(F.col("class_id").isNotNull())
-        .join(bad_edges, "edge_key", "left_anti")
-        .withColumn("class_uri", F.concat(F.lit(OBO), F.col("class_id")))
-    )
-    map_triple_structs = [
-        uri_triple(F.col("entity_uri"), RDFS_SUBCLASSOF, F.col("class_uri")),
-        uri_triple(F.col("class_uri"), RDF_TYPE, OWL_CLASS),
-    ]
-    if approach == "instance":
-        map_triple_structs.append(
-            uri_triple(F.col("entity_uri"), RDF_TYPE, OWL_CLASS)
+    n1_is_ent = F.col("n1_kind") == "entity"
+    n2_is_ent = F.col("n2_kind") == "entity"
+    joined = (
+        resolved.join(
+            F.broadcast(
+                grouped.select(
+                    F.col("entity_id").alias("sub_id"),
+                    F.col("__classes").alias("__cls1_raw"),
+                )
+            ),
+            "sub_id",
+            "left",
         )
-    map_triples = ent_cls.select(
-        "edge_type", F.explode(F.array(*map_triple_structs)).alias("t")
-    ).select("edge_type", "t.*")
+        .join(
+            F.broadcast(
+                grouped.select(
+                    F.col("entity_id").alias("obj_id"),
+                    F.col("__classes").alias("__cls2_raw"),
+                )
+            ),
+            "obj_id",
+            "left",
+        )
+        .withColumn("__cls1", F.when(n1_is_ent, F.col("__cls1_raw")))
+        .withColumn("__cls2", F.when(n2_is_ent, F.col("__cls2_raw")))
+    )
+    good = (~n1_is_ent | F.col("__cls1").isNotNull()) & (
+        ~n2_is_ent | F.col("__cls2").isNotNull()
+    )
 
-    # --- core triples
+    empty = F.array().cast(
+        "array<struct<s:string,p:string,o:string,o_is_literal:boolean,"
+        "o_lang:string,o_datatype:string>>"
+    )
     core_fn = (
         _subclass_core_triples if approach == "subclass" else _instance_core_triples
     )
     core = core_fn(
         F.col("core_n1"), F.col("core_n2"), F.col("rel_uri"), F.col("inv_rel_uri")
     )
-    core_triples = good_edges.select(
-        "edge_type", F.explode(core).alias("t")
+    map1 = F.when(
+        n1_is_ent & good,
+        _map_triple_array(F.col("n1_uri"), F.col("__cls1"), approach),
+    ).otherwise(empty)
+    map2 = F.when(
+        n2_is_ent & good,
+        _map_triple_array(F.col("n2_uri"), F.col("__cls2"), approach),
+    ).otherwise(empty)
+    all_triples = F.concat(map1, map2, F.when(good, core).otherwise(empty))
+
+    triples = joined.select(
+        "edge_type", F.explode(all_triples).alias("t")
     ).select("edge_type", "t.*")
 
-    triples = map_triples.unionByName(core_triples)
+    # second (lazy) pass over the edge table, evaluated only if the caller
+    # inspects errors — mirrors the reference's subclass_error side channel
+    err1 = joined.filter(n1_is_ent & F.col("__cls1").isNull()).select(
+        "edge_type", F.col("sub_id").alias("entity_id")
+    )
+    err2 = joined.filter(n2_is_ent & F.col("__cls2").isNull()).select(
+        "edge_type", F.col("obj_id").alias("entity_id")
+    )
+    errors = err1.unionByName(err2).distinct()
     return triples, errors
 
 

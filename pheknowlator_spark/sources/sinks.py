@@ -92,6 +92,27 @@ def write_integer_triples(
     return id_map
 
 
+def export_property_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S12: property-graph export replacing the pickled NetworkX
+    MultiDiGraph (convert_to_networkx, kg_utils.py:721-759).
+
+    Returns (nodes [id], edges [src, dst, predicate, key]) where key is the
+    reference's md5(s+p+o) edge key (kg_utils.py:751).
+    """
+    nodes = (
+        triples.select(F.col("s").alias("id"))
+        .unionByName(triples.select(F.col("o").alias("id")))
+        .distinct()
+    )
+    edges = triples.select(
+        F.col("s").alias("src"),
+        F.col("o").alias("dst"),
+        F.col("p").alias("predicate"),
+        F.md5(F.concat("s", "p", "o").cast("binary")).alias("key"),
+    ).distinct()
+    return nodes, edges
+
+
 def write_node_labels(metadata: DataFrame, id_map: DataFrame, path: str) -> None:
     """S15: NodeLabels TSV — entity_type, integer_id, entity_uri, label,
     description/definition, synonym (metadata.py:263-282)."""
