@@ -114,6 +114,32 @@ def build_automaton(entity_dictionary: list[tuple[str, str]]) -> AhoCorasick:
     return AhoCorasick(patterns)
 
 
+def _worker_automaton(bc) -> AhoCorasick:
+    """Build (once per worker process) the automaton from a broadcast of
+    PLAIN (surface, curie) pairs.
+
+    The automaton object itself is never broadcast: Spark broadcasts
+    serialize with plain pickle (by reference), which would require this
+    package to be importable on every worker. Plain tuples avoid that, and
+    the per-process cache (stashed on ``sys``) amortizes the build across
+    tasks.
+    """
+    import sys
+
+    cache = getattr(sys, "_pkt_ac_cache", None)
+    if cache is None:
+        cache = {}
+        sys._pkt_ac_cache = cache
+    # worker-side Broadcast objects expose _path (their spill file), not id
+    key = getattr(bc, "_path", None) or getattr(bc, "_jbroadcast", None) or id(bc)
+    ac = cache.get(key)
+    if ac is None:
+        ac = build_automaton(bc.value)
+        cache.clear()  # one dictionary at a time is the norm; bound memory
+        cache[key] = ac
+    return ac
+
+
 def detect_mentions(
     pages: DataFrame,
     entity_dictionary: DataFrame,
@@ -131,13 +157,12 @@ def detect_mentions(
         (r[0], r[1])
         for r in entity_dictionary.select("surface", "curie").distinct().collect()
     ]
-    automaton = build_automaton(pairs)
-    bc = spark.sparkContext.broadcast(automaton)
+    bc = spark.sparkContext.broadcast(pairs)
 
     src = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac = bc.value
+        ac = _worker_automaton(bc)
         for pdf in batches:
             rows: list[tuple[str, str, int, int, str]] = []
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -178,11 +203,11 @@ def extract_and_detect(
         (r[0], r[1])
         for r in entity_dictionary.select("surface", "curie").distinct().collect()
     ]
-    bc = spark.sparkContext.broadcast(build_automaton(pairs))
+    bc = spark.sparkContext.broadcast(pairs)
     src = pages.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac = bc.value
+        ac = _worker_automaton(bc)
         for pdf in batches:
             rows: list[tuple[str, str, int, int, str]] = []
             for url, html in zip(pdf["url"], pdf["html"]):
