@@ -24,7 +24,7 @@ from pheknowlator_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "48000"))
 
 HEADLINE = [
     "subclass_core_inverse",
