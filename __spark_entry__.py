@@ -464,19 +464,30 @@ def q_lsh_topk(spark, sf_dir):
     from pheknowlator_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
+    dim = 64  # testdata embeddings are 64-d by generation contract
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, bits=6, tables=4)
+    return lsh_topk(emb, queries, k=5, dim=dim, bits=6, tables=4)
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing: the mapInPandas feature extraction runs
+    end-to-end (fake codec) and the query returns the gate-sortable scalar
+    projection — byte counts and feature dims round-tripped through the
+    Arrow crossing (the raw array<float> column is not pandas-sortable)."""
     from pheknowlator_spark.operators.multimodal import (
         extract_features,
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, 32), use_fake=True)
+    feats = extract_features(synthetic_media(spark, 32), use_fake=True)
+    return feats.select(
+        "content_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
 
 
 def q_edge_list_stats(spark, sf_dir):
@@ -1012,5 +1023,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'C' || c_custkey AS s, 'locatedIn' AS p,
                    coalesce('R' || n_regionkey, 'N' || c_nationkey) AS o
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        # synthetic_media(n=32): payload = md5 digest (16 bytes) * (4 + i%5);
+        # fake features are fixed 8-d — the oracle re-derives the scalar
+        # projection, verifying the mapInPandas crossing round-trips
+        "multimodal_features": """
+            SELECT 'm' || i AS content_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   16 * (4 + i % 5) AS n_bytes,
+                   CAST(8 AS BIGINT) AS feature_dim
+            FROM range(0, 32) t(i)
         """,
     }

@@ -19,9 +19,11 @@ Edge-row input contract (one row per (edge_type, subject, object) pair)::
     inv_rel   : string?  inverse-relation CURIE or null
 
 Node-type resolution mirrors ``finds_node_type``
-(reference pkt_kg/utils/kg_utils.py:325-371): for mixed class-entity edges
-the *class* side becomes core-constructor node1 when n1 is the class
-(construction_approaches.py:187,262 ``ent_order``).
+(reference pkt_kg/utils/kg_utils.py:337-371) composed with ``ent_order``
+(construction_approaches.py:187,262): for every edge kind the composition
+resolves back to the ORIGINAL (n1, n2) order — when n1 is the class,
+(cls1, ent1) = (n1, n2); when n2 is the class, (ent1, cls1) = (n1, n2) —
+so the core constructor always receives (n1, n2) as written.
 
 Subclass-map misses are captured to an error DataFrame (mirrors
 ``subclass_error``, construction_approaches.py:95-99) and the edge emits
@@ -126,15 +128,17 @@ def _instance_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> 
 def _resolved(edges: DataFrame) -> DataFrame:
     """Resolve full URIs + core-constructor node order.
 
-    ``core_n1``/``core_n2`` follow the reference's ent_order rule: for
-    class-entity edges the class side is node1 (construction_approaches.py:187).
+    ``core_n1``/``core_n2`` are the ORIGINAL (n1, n2) in all cases: the
+    reference's ``ent_order`` (construction_approaches.py:187,262) composed
+    with ``finds_node_type``'s labeling (kg_utils.py:358-365) always maps
+    back to original subject/object order — ['cls1','ent1'] when n1 is the
+    class resolves to (n1, n2), and ['ent1','cls1'] when n2 is the class
+    also resolves to (n1, n2).
     """
     n1_uri = F.concat(F.col("uri1"), F.col("sub_id"))
     n2_uri = F.concat(F.col("uri2"), F.col("obj_id"))
     n1_is_cls = F.col("n1_kind") == "class"
     n2_is_cls = F.col("n2_kind") == "class"
-    # mixed edge: class side first
-    swap = (~n1_is_cls) & n2_is_cls
     return (
         edges.withColumn("n1_uri", n1_uri)
         .withColumn("n2_uri", n2_uri)
@@ -145,8 +149,8 @@ def _resolved(edges: DataFrame) -> DataFrame:
                 F.col("inv_rel").isNotNull(), F.concat(F.lit(OBO), F.col("inv_rel"))
             ),
         )
-        .withColumn("core_n1", F.when(swap, n2_uri).otherwise(n1_uri))
-        .withColumn("core_n2", F.when(swap, n1_uri).otherwise(n2_uri))
+        .withColumn("core_n1", n1_uri)
+        .withColumn("core_n2", n2_uri)
         .withColumn("n_entities", (~n1_is_cls).cast("int") + (~n2_is_cls).cast("int"))
     )
 

@@ -287,22 +287,25 @@ def data_reducer(df: DataFrame, cols: str) -> DataFrame:
 
     Column pruning reaches the scan via Catalyst; float-typed id columns are
     coerced through long (the reference rejects float node ids,
-    edge_list.py:212-214).
+    edge_list.py:212-214). Node ids are ALWAYS emitted as strings — the
+    reference's edge lists hold string identifiers (edge_list.py:212-214
+    ``astype(str)`` after the int coercion), so integer-typed inputs are
+    cast too (keeps the downstream contract + oracle hashing type-stable).
     """
     i, j = (int(x) for x in cols.split(";"))
     c1, c2 = df.columns[i], df.columns[j]
     out = df.select(c1, c2).distinct()
     for c in (c1, c2):
         if dict(out.dtypes)[c] in ("double", "float"):
-            out = out.withColumn(c, F.col(c).cast("long"))
+            out = out.withColumn(c, F.col(c).cast("long").cast("string"))
         else:
             # string cells like '19.0' → '19' (pandas astype(int) parity)
             out = out.withColumn(
                 c,
                 F.when(
-                    F.col(c).rlike(r"^-?[0-9]+\.0+$"),
-                    F.regexp_replace(F.col(c), r"\.0+$", ""),
-                ).otherwise(F.col(c)),
+                    F.col(c).cast("string").rlike(r"^-?[0-9]+\.0+$"),
+                    F.regexp_replace(F.col(c).cast("string"), r"\.0+$", ""),
+                ).otherwise(F.col(c).cast("string")),
             )
     return out.toDF("sub_id", "obj_id")
 

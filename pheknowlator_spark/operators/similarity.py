@@ -106,9 +106,22 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH + exact re-rank."""
+    """Approximate cosine top-k via random-hyperplane LSH + exact re-rank.
+
+    ``dim`` (embedding dimensionality) is resolved plan-side: vector tables
+    carry a fixed dim by contract, so callers pass it (or it is read from
+    column metadata when present). No driver-side ``first()`` probe — the
+    ANN job must be the only job.
+    """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        meta = dict(corpus.schema[vec_col].metadata or {})
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            "lsh_topk needs the embedding dimensionality: pass dim= or attach "
+            "{'dim': n} metadata to the vector column (a driver-side first() "
+            "probe would launch an extra job before the ANN job)"
+        )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
 

@@ -147,7 +147,7 @@ def test_subclass_entity_class_no_inverse(spark):
     exp = [
         (GENE, RDFS_SUBCLASSOF, OBO + "SO_0001217"),
         (OBO + "SO_0001217", RDF_TYPE, OWL_CLASS),
-    ] + expected_subclass_core(HP, GENE, REL, None)  # class side is core n1
+    ] + expected_subclass_core(GENE, HP, REL, None)  # original (n1, n2) order
     assert sorted(got) == sorted(exp)
     assert errors.count() == 0
 
@@ -172,7 +172,7 @@ def test_instance_entity_class_no_inverse(spark):
         (GENE, RDFS_SUBCLASSOF, OBO + "SO_0001217"),
         (OBO + "SO_0001217", RDF_TYPE, OWL_CLASS),
         (GENE, RDF_TYPE, OWL_CLASS),
-    ] + expected_instance_core(HP, GENE, REL, None)
+    ] + expected_instance_core(GENE, HP, REL, None)
     assert sorted(got) == sorted(exp)
 
 

@@ -173,7 +173,7 @@ def test_lsh_topk_recall(spark, embeddings):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(embeddings, queries, k=3)
-    approx = lsh_topk(embeddings, queries, k=3, bits=6, tables=8)
+    approx = lsh_topk(embeddings, queries, k=3, dim=64, bits=6, tables=8)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
