@@ -625,6 +625,153 @@ def q_canonical_rewrite(spark, sf_dir):
     return rewrite_triples(triples, cmap)
 
 
+_DBXREF = "http://www.geneontology.org/formats/oboInOwl#hasDbXref"
+_OWL_NS = "http://www.w3.org/2002/07/owl#"
+
+
+def _annotation_graph(spark, sf_dir):
+    """Deterministic OWL graph with axiom reifications + annotation
+    assertions over nation/region: case-A axioms (AXIOM_k, key%2==0, both
+    annotatedSource/Target URIs), case-C axioms (AXIOM5_k, key%5==0,
+    literal target), case-B entities (NATION_k with a direct hasDbXref,
+    key%3==0)."""
+    nation = _read(spark, sf_dir, "nation")
+    n_uri = F.concat(F.lit(OBO + "NATION_"), F.col("n_nationkey"))
+    r_uri = F.concat(F.lit(OBO + "REGION_"), F.col("n_regionkey"))
+    x_uri = F.concat(F.lit(OBO + "AXIOM_"), F.col("n_nationkey"))
+    x5_uri = F.concat(F.lit(OBO + "AXIOM5_"), F.col("n_nationkey"))
+
+    def t(s, p, o, lit=False):
+        return F.struct(
+            s.alias("s") if isinstance(s, F.Column) else F.lit(s).alias("s"),
+            F.lit(p).alias("p") if isinstance(p, str) else p.alias("p"),
+            o.alias("o") if isinstance(o, F.Column) else F.lit(o).alias("o"),
+            F.lit(lit).alias("o_is_literal"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
+
+    base = F.array(
+        t(n_uri, _RDF_TYPE, F.lit(_OWL_NS + "Class")),
+        t(n_uri, _SUBCLASSOF, r_uri),
+        t(r_uri, _RDF_TYPE, F.lit(_OWL_NS + "Class")),
+    )
+    ax = F.when(
+        F.col("n_nationkey") % 2 == 0,
+        F.array(
+            t(x_uri, _RDF_TYPE, F.lit(_OWL_NS + "Axiom")),
+            t(x_uri, _OWL_NS + "annotatedSource", n_uri),
+            t(x_uri, _OWL_NS + "annotatedProperty", F.lit(_SUBCLASSOF)),
+            t(x_uri, _OWL_NS + "annotatedTarget", r_uri),
+            t(x_uri, _DBXREF, F.concat(F.lit("nation:"), F.col("n_nationkey")), lit=True),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:string,p:string,o:string,o_is_literal:boolean,o_lang:string,o_datatype:string>>"))
+    ent = F.when(
+        F.col("n_nationkey") % 3 == 0,
+        F.array(t(n_uri, _DBXREF, F.col("n_name"), lit=True)),
+    ).otherwise(F.array().cast("array<struct<s:string,p:string,o:string,o_is_literal:boolean,o_lang:string,o_datatype:string>>"))
+    ax5 = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.array(
+            t(x5_uri, _RDF_TYPE, F.lit(_OWL_NS + "Axiom")),
+            t(x5_uri, _OWL_NS + "annotatedSource", n_uri),
+            t(x5_uri, _OWL_NS + "annotatedTarget", F.lit("free text"), lit=True),
+            t(x5_uri, _DBXREF, F.lit("c5"), lit=True),
+        ),
+    ).otherwise(F.array().cast("array<struct<s:string,p:string,o:string,o_is_literal:boolean,o_lang:string,o_datatype:string>>"))
+    decl = spark.createDataFrame(
+        [(_DBXREF, _RDF_TYPE, _OWL_NS + "AnnotationProperty", False, None, None)],
+        "s string, p string, o string, o_is_literal boolean, o_lang string, o_datatype string",
+    )
+    exploded = (
+        nation.select(F.explode(F.concat(base, ax, ent, ax5)).alias("t"))
+        .select("t.*")
+        .unionByName(decl)
+        .distinct()
+    )
+    return exploded
+
+
+def q_logic_annotation_split(spark, sf_dir):
+    from pheknowlator_spark.operators.owl_filters import split_logic_annotation
+
+    g = _annotation_graph(spark, sf_dir)
+    logic, annot = split_logic_annotation(g)
+    return logic.select(F.lit("logic").alias("part"), "s", "p", "o").unionByName(
+        annot.select(F.lit("annotation").alias("part"), "s", "p", "o")
+    )
+
+
+_ANNOTATION_GRAPH_SQL = f"""
+g AS (
+  SELECT DISTINCT * FROM (
+    SELECT '{OBO}NATION_' || n_nationkey AS s, '{_RDF_TYPE}' AS p,
+           '{_OWL_NS}Class' AS o FROM nation
+    UNION ALL
+    SELECT '{OBO}NATION_' || n_nationkey, '{_SUBCLASSOF}',
+           '{OBO}REGION_' || n_regionkey FROM nation
+    UNION ALL
+    SELECT '{OBO}REGION_' || n_regionkey, '{_RDF_TYPE}', '{_OWL_NS}Class'
+    FROM nation
+    UNION ALL
+    SELECT '{OBO}AXIOM_' || n_nationkey, '{_RDF_TYPE}', '{_OWL_NS}Axiom'
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM_' || n_nationkey, '{_OWL_NS}annotatedSource',
+           '{OBO}NATION_' || n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM_' || n_nationkey, '{_OWL_NS}annotatedProperty',
+           '{_SUBCLASSOF}' FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM_' || n_nationkey, '{_OWL_NS}annotatedTarget',
+           '{OBO}REGION_' || n_regionkey FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM_' || n_nationkey, '{_DBXREF}',
+           'nation:' || n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT '{OBO}NATION_' || n_nationkey, '{_DBXREF}', n_name
+    FROM nation WHERE n_nationkey % 3 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM5_' || n_nationkey, '{_RDF_TYPE}', '{_OWL_NS}Axiom'
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM5_' || n_nationkey, '{_OWL_NS}annotatedSource',
+           '{OBO}NATION_' || n_nationkey FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM5_' || n_nationkey, '{_OWL_NS}annotatedTarget',
+           'free text' FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT '{OBO}AXIOM5_' || n_nationkey, '{_DBXREF}', 'c5'
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT '{_DBXREF}', '{_RDF_TYPE}', '{_OWL_NS}AnnotationProperty'
+  )
+),
+-- closed-form expected annotation subset from the generation rules:
+-- case A (AXIOM_k): only the declared-annot payload (X, hasDbXref, ...);
+-- case C (AXIOM5_k): all four of its triples;
+-- case B (NATION_k %3): its direct (N, hasDbXref, name)
+annot AS (
+  SELECT '{OBO}AXIOM_' || n_nationkey AS s, '{_DBXREF}' AS p,
+         'nation:' || n_nationkey AS o FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT '{OBO}AXIOM5_' || n_nationkey, '{_RDF_TYPE}', '{_OWL_NS}Axiom'
+  FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT '{OBO}AXIOM5_' || n_nationkey, '{_OWL_NS}annotatedSource',
+         '{OBO}NATION_' || n_nationkey FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT '{OBO}AXIOM5_' || n_nationkey, '{_OWL_NS}annotatedTarget',
+         'free text' FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT '{OBO}AXIOM5_' || n_nationkey, '{_DBXREF}', 'c5'
+  FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL
+  SELECT '{OBO}NATION_' || n_nationkey, '{_DBXREF}', n_name
+  FROM nation WHERE n_nationkey % 3 = 0
+)"""
+
+
 def q_owlnets_decode(spark, sf_dir):
     """OWL-NETS decode over a deterministic synthetic ontology exercising
     restriction / union / intersection / negation / axiom rules. Iterative
@@ -716,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_triples": q_metadata_triples,
         "bnode_namespace_roundtrip": q_bnode_namespace_roundtrip,
         "canonical_rewrite": q_canonical_rewrite,
+        "logic_annotation_split": q_logic_annotation_split,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
@@ -1023,6 +1171,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'C' || c_custkey AS s, 'locatedIn' AS p,
                    coalesce('R' || n_regionkey, 'N' || c_nationkey) AS o
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "logic_annotation_split": f"""
+            WITH {_ANNOTATION_GRAPH_SQL.strip()}
+            SELECT CASE WHEN a.s IS NOT NULL THEN 'annotation' ELSE 'logic' END
+                     AS part, g.s, g.p, g.o
+            FROM g LEFT JOIN annot a ON g.s = a.s AND g.p = a.p AND g.o = a.o
         """,
         # synthetic_media(n=32): payload = md5 digest (16 bytes) * (4 + i%5);
         # fake features are fixed 8-d — the oracle re-derives the scalar

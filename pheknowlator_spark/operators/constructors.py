@@ -202,39 +202,44 @@ def construct_edges(
         raise ValueError(f"unknown construction approach: {approach}")
     resolved = _resolved(edges)
 
-    spark = edges.sparkSession
-    if subclass_map is None:
-        subclass_map = spark.createDataFrame([], "entity_id string, class_id string")
-    grouped = subclass_map.groupBy("entity_id").agg(
-        F.sort_array(F.collect_set("class_id")).alias("__classes")
-    )
-
     n1_is_ent = F.col("n1_kind") == "entity"
     n2_is_ent = F.col("n2_kind") == "entity"
-    joined = (
-        resolved.join(
-            F.broadcast(
-                grouped.select(
-                    F.col("entity_id").alias("sub_id"),
-                    F.col("__classes").alias("__cls1_raw"),
-                )
-            ),
-            "sub_id",
-            "left",
+    if subclass_map is None:
+        # no map at all: same semantics as an empty map (every entity side
+        # is unmapped → error row, no triples) WITHOUT the two broadcast
+        # exchanges — the all-class fast path is join-free
+        null_classes = F.lit(None).cast("array<string>")
+        joined = resolved.withColumn(
+            "__cls1", F.when(n1_is_ent, null_classes)
+        ).withColumn("__cls2", F.when(n2_is_ent, null_classes))
+    else:
+        grouped = subclass_map.groupBy("entity_id").agg(
+            F.sort_array(F.collect_set("class_id")).alias("__classes")
         )
-        .join(
-            F.broadcast(
-                grouped.select(
-                    F.col("entity_id").alias("obj_id"),
-                    F.col("__classes").alias("__cls2_raw"),
-                )
-            ),
-            "obj_id",
-            "left",
+        joined = (
+            resolved.join(
+                F.broadcast(
+                    grouped.select(
+                        F.col("entity_id").alias("sub_id"),
+                        F.col("__classes").alias("__cls1_raw"),
+                    )
+                ),
+                "sub_id",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    grouped.select(
+                        F.col("entity_id").alias("obj_id"),
+                        F.col("__classes").alias("__cls2_raw"),
+                    )
+                ),
+                "obj_id",
+                "left",
+            )
+            .withColumn("__cls1", F.when(n1_is_ent, F.col("__cls1_raw")))
+            .withColumn("__cls2", F.when(n2_is_ent, F.col("__cls2_raw")))
         )
-        .withColumn("__cls1", F.when(n1_is_ent, F.col("__cls1_raw")))
-        .withColumn("__cls2", F.when(n2_is_ent, F.col("__cls2_raw")))
-    )
     good = (~n1_is_ent | F.col("__cls1").isNotNull()) & (
         ~n2_is_ent | F.col("__cls2").isNotNull()
     )

@@ -218,6 +218,140 @@ def graph_difference(all_triples: DataFrame, subset: DataFrame) -> DataFrame:
     return all_triples.join(subset.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
 
 
+OWL_ANNOTATION_PROPERTY = "http://www.w3.org/2002/07/owl#AnnotationProperty"
+OWL_ANNOTATED_SOURCE = "http://www.w3.org/2002/07/owl#annotatedSource"
+OWL_ANNOTATED_PROPERTY = "http://www.w3.org/2002/07/owl#annotatedProperty"
+OWL_ANNOTATED_TARGET = "http://www.w3.org/2002/07/owl#annotatedTarget"
+_CORE_ANNOT = [OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_PROPERTY, OWL_ANNOTATED_TARGET]
+
+
+def annotation_assertions(triples: DataFrame) -> DataFrame:
+    """N12: the annotation-assertion subset of a graph
+    (splits_knowledge_graph, kg_utils.py:600-640; OWL2 Annotation_Assertion).
+
+    Entities of interest are owl:Axiom reifications plus URI subjects with a
+    declared-annotation-property out-edge. Per entity, triples touching it
+    (either direction) are classified:
+
+    * both annotatedSource and annotatedTarget present with URI objects →
+      triples whose predicate is a DECLARED annotation property (the
+      annotation payload; the reification skeleton stays logical);
+    * exactly one present → triples whose predicate is any annotation
+      property (declared ∪ core annotated{Source,Property,Target}) or whose
+      object is owl:Axiom;
+    * neither → the same, except inbound core annotated{Source,Target}
+      references to the entity, which belong to the referencing axiom.
+
+    The reference iterates a Python set and consults the accumulating
+    result inside the loop (kg_utils.py:636-638), making the pathological
+    overlap case iteration-order-dependent; this operator is the
+    DETERMINISTIC fixpoint equivalent to processing every axiom-cased
+    entity before every unreferenced one (a triple excluded for one entity
+    is still emitted if any other entity legitimately contributes it — set
+    union, like the reference's ``|=``).
+
+    All joins are on node ids; the annotation-property set is dimension-
+    sized (broadcast), entity classification is two aggregations — no
+    all-pairs work, scales to ontology-union graphs of any size.
+    """
+    not_bnode_o = ~_is_bnode(F.col("o"))
+    uri_o = (~F.col("o_is_literal")) & not_bnode_o
+
+    annot_props = (
+        triples.filter(
+            (F.col("p") == RDF_TYPE)
+            & (F.col("o") == OWL_ANNOTATION_PROPERTY)
+            & (F.col("s") != RDF_TYPE)
+        )
+        .select(F.col("s").alias("prop"))
+        .distinct()
+    )
+    axioms = _typed_as(triples, OWL_AXIOM).select(F.col("node").alias("ent"))
+
+    # per-entity annotatedSource/annotatedTarget presence (URI objects only)
+    src_tgt = (
+        triples.filter(
+            F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET]) & uri_o
+        )
+        .groupBy(F.col("s").alias("ent"))
+        .agg(
+            F.max((F.col("p") == OWL_ANNOTATED_SOURCE).cast("int")).alias("__has_src"),
+            F.max((F.col("p") == OWL_ANNOTATED_TARGET).cast("int")).alias("__has_tgt"),
+        )
+    )
+
+    entities = (
+        triples.join(
+            F.broadcast(annot_props), triples["p"] == annot_props["prop"], "left_semi"
+        )
+        .filter(~_is_bnode(F.col("s")))
+        .select(F.col("s").alias("ent"))
+        .distinct()
+        .join(axioms, "ent", "left_anti")
+    )
+    ents = (
+        axioms.unionByName(entities)
+        .distinct()
+        .join(src_tgt, "ent", "left")
+        .select(
+            "ent",
+            F.when(
+                (F.coalesce("__has_src", F.lit(0)) == 1)
+                & (F.coalesce("__has_tgt", F.lit(0)) == 1),
+                "A",
+            )
+            .when(
+                (F.coalesce("__has_src", F.lit(0)) == 0)
+                & (F.coalesce("__has_tgt", F.lit(0)) == 0),
+                "B",
+            )
+            .otherwise("C")
+            .alias("case"),
+        )
+    )
+
+    flagged = triples.join(
+        F.broadcast(annot_props.select(F.col("prop").alias("p"), F.lit(True).alias("__declared"))),
+        "p",
+        "left",
+    )
+    is_declared = F.coalesce("__declared", F.lit(False))
+    is_all_annot = is_declared | F.col("p").isin(_CORE_ANNOT)
+    wide = is_all_annot | (F.col("o") == OWL_AXIOM)
+
+    s_side = flagged.join(ents.withColumnRenamed("ent", "s"), "s", "inner")
+    o_side = flagged.join(ents.withColumnRenamed("ent", "o"), "o", "inner")
+
+    contrib_s = s_side.filter(
+        ((F.col("case") == "A") & is_declared)
+        | ((F.col("case") != "A") & wide)
+    )
+    contrib_o = o_side.filter(
+        ((F.col("case") == "A") & is_declared)
+        | ((F.col("case") == "C") & wide)
+        | (
+            (F.col("case") == "B")
+            & wide
+            & ~F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET])
+        )
+    )
+    cols = [c for c in triples.columns]
+    return contrib_s.select(*cols).unionByName(contrib_o.select(*cols)).distinct()
+
+
+def split_logic_annotation(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """N12 + U2: (logic, annotation) graph split (kg_utils.py:600-650).
+
+    ``logic = all − annotation``; the reference's count-parity assertion
+    (kg_utils.py:640) holds by construction for an anti-join difference
+    when the graph is distinct — callers persisting both sides can assert
+    ``logic.count() + annotation.count() == all.distinct().count()``.
+    """
+    annot = annotation_assertions(triples)
+    logic = graph_difference(triples, annot)
+    return logic, annot
+
+
 def resolve_duplicate_predicates(triples: DataFrame) -> DataFrame:
     """A10: per (s,o) group with >1 predicate where one is rdfs:subClassOf,
     keep the non-subClassOf predicate (verifies_cleaned_classes,

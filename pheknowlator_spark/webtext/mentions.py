@@ -184,6 +184,7 @@ def extract_and_detect(
     min_quality: float | None = None,
     html_col: str = "html",
     url_col: str = "url",
+    resolve_spans: bool = False,
 ) -> DataFrame:
     """Fused extract → quality-gate → mention-scan in ONE Arrow crossing.
 
@@ -194,6 +195,15 @@ def extract_and_detect(
     ``html_to_text`` as ``with_extracted_text`` so the byte-identity
     contract is unchanged; the quality gate uses ``quality_score_py``, the
     parity-tested twin of the Column scorer.
+
+    ``resolve_spans=True`` additionally resolves each span to its linked
+    CURIE inside the same crossing — byte-identical to
+    ``score_mentions(..., priors=None)`` because every candidate of a span
+    shares the span's surface (equal surface-length score), so the argmax
+    is the lexicographically first candidate, which is per-page-computable.
+    This removes the corpus-scale window shuffle from the linking stage: a
+    10^12-page build shuffles only per-page aggregates, never raw mention
+    rows. (Scoring with corpus priors needs the general path.)
     """
     from pheknowlator_spark.functions.text import quality_score_py
     from pheknowlator_spark.webtext.extract import html_to_text
@@ -217,8 +227,12 @@ def extract_and_detect(
                 if min_quality is not None and quality_score_py(text) < min_quality:
                     continue
                 for surface, begin, end, curies in ac.find(text):
-                    for curie in curies:
-                        rows.append((url, surface, begin, end, curie))
+                    if resolve_spans:
+                        # curies is sorted → [0] is the score_mentions argmax
+                        rows.append((url, surface, begin, end, curies[0]))
+                    else:
+                        for curie in curies:
+                            rows.append((url, surface, begin, end, curie))
             yield pd.DataFrame(
                 rows, columns=["url", "surface", "begin", "end", "curie"]
             )

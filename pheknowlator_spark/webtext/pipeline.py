@@ -47,20 +47,34 @@ def derive_comention_edges(
     """Stage [5]: per-page co-mentions → scored, typed edge rows.
 
     ``linked``: [url, curie, ...] one row per linked mention. Pair
-    generation is a self-join per url on distinct (url, curie) — quadratic
-    only within a page (bounded by mentions-per-page, not corpus size), with
-    the canonical direction fixed by the namespace pair so each undirected
-    pair appears once.
+    generation is ONE pass: per-url sorted entity set (``collect_set``
+    dedups) followed by a map-side pair explode — quadratic only within a
+    page (bounded by mentions-per-page, not corpus size). No self-join, no
+    persist: the upstream mention pipeline evaluates exactly once and the
+    only shuffle is the groupBy(url), so a 10^12-page corpus streams
+    through without caching a trillion-row intermediate.
     """
     edge_type_map = edge_type_map or DEFAULT_EDGE_TYPES
-    # consumed twice (both sides of the pair self-join) — eager persist so
-    # the mention-detection pipeline upstream runs exactly once (lazy
-    # persists race when both join sides evaluate concurrently)
-    page_entities = linked.select("url", "curie").distinct().persist()
-    page_entities.count()
-    a = page_entities.select("url", F.col("curie").alias("c1"))
-    b = page_entities.select("url", F.col("curie").alias("c2"))
-    pairs = a.join(b, "url").filter(F.col("c1") < F.col("c2"))
+    page_sets = linked.groupBy("url").agg(
+        F.sort_array(F.collect_set("curie")).alias("__cs")
+    )
+    # unordered pairs from the sorted set: element i with every later
+    # element — c1 < c2 by construction, each pair appears exactly once
+    # per url (replaces the former distinct + self-join: two shuffles and
+    # an eager corpus-scale persist)
+    cs = F.col("__cs")
+    pair_structs = F.flatten(
+        F.transform(
+            cs,
+            lambda x, i: F.transform(
+                F.slice(cs, i + F.lit(2), F.size(cs)),
+                lambda y: F.struct(x.alias("c1"), y.alias("c2")),
+            ),
+        )
+    )
+    pairs = page_sets.select("url", F.explode(pair_structs).alias("__p")).select(
+        "url", F.col("__p.c1").alias("c1"), F.col("__p.c2").alias("c2")
+    )
 
     ns1, ns2 = curie_namespace(F.col("c1")), curie_namespace(F.col("c2"))
     # build the CASE mapping both (ns1,ns2) and (ns2,ns1)
@@ -91,8 +105,10 @@ def derive_comention_edges(
             "url",
         )
     )
+    # each (url, pair) row is unique by construction, so a plain count is
+    # the distinct-page count — no count-distinct expansion needed
     scored = typed.groupBy("edge_type", "sub_id", "obj_id", "rel", "inv_rel").agg(
-        F.countDistinct("url").alias("n_pages")
+        F.count(F.lit(1)).alias("n_pages")
     )
     return scored.filter(F.col("n_pages") >= min_pages)
 
@@ -125,27 +141,35 @@ def run_pipeline(
     lang: str = "en",
     re_extract: bool = False,
     quality_threshold: float | None = None,
-    materialize: bool = False,
 ) -> dict[str, DataFrame]:
     """Full stages [1]-[6]; returns every intermediate for checkpointing.
 
     ``pages`` must carry (url, html, text, lang); when ``re_extract`` the
     text column is recomputed from html (byte-identity contract).
     ``quality_threshold`` adds the corpus quality-filter stage (JVM-side
-    expression scoring). ``materialize`` forces each persisted stage
-    boundary eagerly — lazy persists shared by several consumers inside
-    one job can be computed redundantly by concurrent subtrees; production
-    runs materialize through plans.StageStore instead.
+    expression scoring).
+
+    The plan is LINEAR — every stage has exactly one consumer, so no
+    persist/cache is needed anywhere: the whole pages→triples build is one
+    job whose scan stage dominates wall time at corpus scale. Callers who
+    want resumable stage boundaries write intermediates through
+    ``plans.StageStore`` (checkpointed parquet), which is the production
+    pattern — never an in-memory persist of a corpus-scale table.
     """
     pages_en = pages.filter(F.col("lang") == lang)
     if re_extract:
-        # fused extract → quality → scan: one Arrow crossing (see
-        # mentions.extract_and_detect for the scaling rationale)
+        # fused extract → quality → scan → span-resolve: one Arrow crossing
+        # and NO mention-row shuffle (see mentions.extract_and_detect;
+        # resolve_spans is parity-tested against score_mentions)
         from pheknowlator_spark.webtext.mentions import extract_and_detect
 
         mentions = extract_and_detect(
-            pages_en, entity_dictionary, min_quality=quality_threshold
+            pages_en,
+            entity_dictionary,
+            min_quality=quality_threshold,
+            resolve_spans=True,
         )
+        linked = mentions
     else:
         if quality_threshold is not None:
             from pheknowlator_spark.functions.text import quality_score
@@ -154,10 +178,7 @@ def run_pipeline(
                 quality_score(F.col("text")) >= quality_threshold
             )
         mentions = detect_mentions(pages_en, entity_dictionary)
-    linked = score_mentions(mentions)
-    if materialize:
-        linked = linked.persist()
-        linked.count()
+        linked = score_mentions(mentions)
     if same_as is not None:
         canonical_map = build_canonical_map(same_as)
         linked = link_mentions(linked, canonical_map)

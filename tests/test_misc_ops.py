@@ -59,10 +59,86 @@ def test_export_property_graph(spark):
 
 
 def test_ontology_header(spark):
-    hdr = ontology_header(spark, "http://x/onto", "v1.0")
-    rows = {(r.p.split("#")[-1].split("/")[-1], r.o) for r in hdr.collect()}
-    assert ("versionInfo", "v1.0") in rows
-    assert ("type", "http://www.w3.org/2002/07/owl#Ontology") in rows
+    # reference URL derivation (metadata.py:216-218): drop first two '_'
+    # tokens + extension, lowercase → pheknowlator.com subject
+    hdr = ontology_header(
+        spark, "PheKnowLator_v2_Full_InverseRelations_KG.owl", "v2.0.0",
+        "04/02/2020 21:22:56",
+    )
+    rows = hdr.collect()
+    assert len(rows) == 7
+    subj = {r.s for r in rows}
+    assert subj == {"https://pheknowlator.com/pheknowlator_full_inverserelations_kg.owl"}
+    got = {(r.p.split("#")[-1].split("/")[-1], r.o) for r in rows}
+    assert ("type", "http://www.w3.org/2002/07/owl#Ontology") in got
+    assert ("versionIRI",
+            "https://github.com/callahantiff/PheKnowLator/wiki/v2.0.0") in got
+    assert ("comment", "PheKnowLator Release version v2.0.0") in got
+    assert ("date", "04/02/2020 21:22:56") in got
+
+
+def test_adds_ontology_annotations_replaces_header(spark):
+    from pheknowlator_spark.operators.metadata import adds_ontology_annotations
+
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdf_t = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    g = spark.createDataFrame(
+        [
+            ("http://old/onto", rdf_t, owl + "Ontology", False, None, None),
+            ("http://old/onto", owl + "versionIRI", "http://old/v1", False, None, None),
+            ("http://x/A", rdf_t, owl + "Class", False, None, None),
+        ],
+        "s string, p string, o string, o_is_literal boolean, "
+        "o_lang string, o_datatype string",
+    )
+    out = adds_ontology_annotations(g, "PheKnowLator_v2_Full_KG.owl", "v2.0.0", "d")
+    rows = [(r.s, r.p, r.o) for r in out.collect()]
+    assert not any(s == "http://old/onto" for s, _, _ in rows)
+    assert ("http://x/A", rdf_t, owl + "Class") in rows
+    assert len(rows) == 1 + 7
+
+
+def test_extract_metadata_roundtrip(spark):
+    # extract_metadata (metadata.py:101-155): label-gated, kind split,
+    # synonym aggregation; builtin subClassOf/type relations appended
+    from pheknowlator_spark.operators.metadata import extract_metadata
+
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdf_t = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    lbl = "http://www.w3.org/2000/01/rdf-schema#label"
+    iao = "http://purl.obolibrary.org/obo/IAO_0000115"
+    syn = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
+    rows = [
+        ("http://o/C1", rdf_t, owl + "Class", False, None, None),
+        ("http://o/C1", lbl, "gene", True, None, None),
+        ("http://o/C1", lbl, "aaa-first", True, None, None),  # min() pick
+        ("http://o/C1", lbl, "zz-german", True, "de", None),  # lang-filtered
+        ("http://o/C1", iao, "a gene region", True, None, None),
+        ("http://o/C1", syn, "locus", True, None, None),
+        ("http://o/C1", syn, "allele", True, None, None),
+        ("http://o/C2", rdf_t, owl + "Class", False, None, None),  # no label
+        ("http://o/R1", rdf_t, owl + "ObjectProperty", False, None, None),
+        ("http://o/R1", lbl, "part of", True, "en", None),
+        ("http://o/has#frag", rdf_t, owl + "Class", False, None, None),  # '#'
+        ("http://o/has#frag", lbl, "x", True, None, None),
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_is_literal boolean, "
+        "o_lang string, o_datatype string",
+    )
+    meta = extract_metadata(g)
+    by_uri = {r.uri: r for r in meta.collect()}
+    assert set(by_uri) == {
+        "http://o/C1", "http://o/R1",
+        "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    }
+    c1 = by_uri["http://o/C1"]
+    assert c1.kind == "nodes" and c1.label == "aaa-first"
+    assert c1.description == "a gene region"
+    assert c1.synonyms == ["allele", "locus"]
+    assert by_uri["http://o/R1"].kind == "relations"
 
 
 def test_whitespace_delimited_scan(spark, tmp_path):
@@ -147,3 +223,57 @@ def test_incremental_streaming_triples(spark, tmp_path):
     got = spark.read.parquet(out_path)
     assert got.count() > 0
     assert "batch_id" in got.columns
+
+
+def test_split_logic_annotation_cases(spark):
+    # N12 splits_knowledge_graph parity (kg_utils.py:600-640): case A (full
+    # reification keeps skeleton logical, payload annotated), case B (entity
+    # with direct annotation; inbound core refs stay with their axiom),
+    # case C (axiom with literal target: everything annotated)
+    from pheknowlator_spark.operators.owl_filters import split_logic_annotation
+
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdf_t = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sco = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    dc = "http://www.geneontology.org/formats/oboInOwl#hasDbXref"
+    a, b, x1, x2 = "http://x/A", "http://x/B", "http://x/X1", "http://x/X2"
+    rows = [
+        (dc, rdf_t, owl + "AnnotationProperty", False),
+        (a, rdf_t, owl + "Class", False),
+        (b, rdf_t, owl + "Class", False),
+        (a, sco, b, False),
+        # case A: full reification of (a, sco, b)
+        (x1, rdf_t, owl + "Axiom", False),
+        (x1, owl + "annotatedSource", a, False),
+        (x1, owl + "annotatedProperty", sco, False),
+        (x1, owl + "annotatedTarget", b, False),
+        (x1, dc, "x", True),
+        # case C: axiom with literal target
+        (x2, rdf_t, owl + "Axiom", False),
+        (x2, owl + "annotatedSource", a, False),
+        (x2, owl + "annotatedTarget", "t", True),
+        (x2, dc, "y", True),
+        # case B: entity with direct annotation
+        (a, dc, "z", True),
+    ]
+    g = spark.createDataFrame(
+        [(s, p, o, lit, None, None) for s, p, o, lit in rows],
+        "s string, p string, o string, o_is_literal boolean, "
+        "o_lang string, o_datatype string",
+    )
+    logic, annot = split_logic_annotation(g)
+    got_annot = {(r.s, r.p, r.o) for r in annot.collect()}
+    expected_annot = {
+        (x1, dc, "x"),
+        (x2, rdf_t, owl + "Axiom"),
+        (x2, owl + "annotatedSource", a),
+        (x2, owl + "annotatedTarget", "t"),
+        (x2, dc, "y"),
+        (a, dc, "z"),
+    }
+    assert got_annot == expected_annot
+    # case-A skeleton (incl. inbound annotatedSource ref to entity a) is logic
+    got_logic = {(r.s, r.p, r.o) for r in logic.collect()}
+    assert (x1, owl + "annotatedSource", a) in got_logic
+    # count parity (kg_utils.py:640)
+    assert len(got_logic) + len(got_annot) == len(rows)

@@ -174,3 +174,34 @@ def test_pipeline_deterministic_across_parallelism(spark):
     t1 = {(r.s, r.p, r.o) for r in run_pipeline(pages8, d, min_pages=2)["triples"].collect()}
     t2 = {(r.s, r.p, r.o) for r in run_pipeline(pages2, d, min_pages=2)["triples"].collect()}
     assert t1 == t2 and len(t1) > 0
+
+
+def test_resolve_spans_parity_with_score_mentions(spark):
+    # fused in-scan span resolution must be byte-identical to the general
+    # score_mentions path (priors=None): same (url, surface, begin, end,
+    # curie) rows on the same pages
+    from pheknowlator_spark.webtext.mentions import extract_and_detect
+
+    pages = generate_pages(spark, 50, partitions=4)
+    d = entity_dictionary(spark)
+    fused = extract_and_detect(pages, d, min_quality=0.4, resolve_spans=True)
+    general = score_mentions(
+        extract_and_detect(pages, d, min_quality=0.4, resolve_spans=False)
+    )
+    cols = ["url", "surface", "begin", "end", "curie"]
+    a = {tuple(r) for r in fused.select(*cols).collect()}
+    b = {tuple(r) for r in general.select(*cols).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_re_extract_pipeline_matches_general_path(spark):
+    # the re_extract fast path (fused scan + resolve) and the text-column
+    # general path must emit the same triples
+    pages = generate_pages(spark, 60, partitions=4)
+    d = entity_dictionary(spark)
+    fast = run_pipeline(pages, d, min_pages=2, re_extract=True,
+                        quality_threshold=0.4)
+    gen = run_pipeline(pages, d, min_pages=2, quality_threshold=0.4)
+    t1 = {(r.s, r.p, r.o) for r in fast["triples"].collect()}
+    t2 = {(r.s, r.p, r.o) for r in gen["triples"].collect()}
+    assert t1 == t2 and len(t1) > 0
