@@ -444,15 +444,20 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
-# ---- no SQL oracle (approximate / UDF-bound); driver does rows-only ----
-
 def q_minhash_near_dup(spark, sf_dir):
+    """MinHash banding → candidate pairs → EXACT-Jaccard re-rank. Because
+    verification is exact, the output equals the exact n-gram-Jaccard pair
+    set whenever banding recall is 1.0 (verified at the gate SFs) — so the
+    DuckDB exact-Jaccard oracle applies; any banding miss would surface as
+    a hash mismatch."""
     from pheknowlator_spark.operators.dedup import minhash_near_duplicates
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return minhash_near_duplicates(docs, threshold=0.2).select("a", "b")
 
 
+# ---- no SQL oracle (token-hash bit math, not SQL-expressible);
+# ---- driver does rows-only; exactness asserted in test_training_ops ----
 def q_simhash_near_dup(spark, sf_dir):
     from pheknowlator_spark.operators.dedup import simhash_near_duplicates
 
@@ -461,6 +466,10 @@ def q_simhash_near_dup(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucketing + exact cosine re-rank. At bits=3 /
+    tables=12 the candidate set covers the true top-5 on the gate data, so
+    the output equals exact cosine top-k and the DuckDB cosine oracle
+    applies — a recall regression would surface as a hash mismatch."""
     from pheknowlator_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -468,7 +477,8 @@ def q_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, dim=dim, bits=6, tables=4)
+    out = lsh_topk(emb, queries, k=5, dim=dim, bits=3, tables=12)
+    return out.select("query_id", "vec_id", "rank")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -773,54 +783,113 @@ annot AS (
 
 
 def q_owlnets_decode(spark, sf_dir):
-    """OWL-NETS decode over a deterministic synthetic ontology exercising
-    restriction / union / intersection / negation / axiom rules. Iterative
-    forest assignment + applyInPandas decode — not SQL-expressible."""
+    """OWL-NETS decode over a deterministic synthetic ontology: per-nation
+    someValuesFrom restrictions, intersectionOf lists, axiom reifications,
+    negation restrictions (lacks_part → dropped root + status), per-region
+    unionOf lists, plus a plain subclass backbone. Iterative forest
+    assignment + applyInPandas decode — not SQL-expressible (rows-only
+    gate; exact decode rules are unit-asserted in test_owlnets)."""
     from pheknowlator_spark.operators.owlnets import run_owlnets
 
     obo = OBO
     owl = "http://www.w3.org/2002/07/owl#"
     rdf_t = _RDF_TYPE
     sco = _SUBCLASSOF
-    rows = []
-    # a small subclass backbone over region-derived classes
-    region = _read(spark, sf_dir, "region")
-    backbone = region.select(
-        F.concat(F.lit(obo), F.lit("REGION_"), F.col("r_regionkey")).alias("s"),
-        F.lit(rdf_t).alias("p"),
-        F.lit(owl + "Class").alias("o"),
-        F.lit(False).alias("o_is_literal"),
-        F.lit(None).cast("string").alias("o_lang"),
-        F.lit(None).cast("string").alias("o_datatype"),
+    first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    part_of = obo + "BFO_0000050"
+
+    nations = sorted(
+        (r.n_nationkey, r.n_regionkey)
+        for r in _read(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .collect()
     )
-    x, a, b, part_of = obo + "X_1", obo + "A_1", obo + "B_1", obo + "BFO_0000050"
-    rows += [
-        (part_of, rdf_t, owl + "ObjectProperty", False, None, None),
-        (x, rdf_t, owl + "Class", False, None, None),
-        (a, rdf_t, owl + "Class", False, None, None),
-        (b, rdf_t, owl + "Class", False, None, None),
-        (x, sco, "bnode:r1", False, None, None),
-        ("bnode:r1", rdf_t, owl + "Restriction", False, None, None),
-        ("bnode:r1", owl + "onProperty", part_of, False, None, None),
-        ("bnode:r1", owl + "someValuesFrom", a, False, None, None),
-        (a, sco, "bnode:c1", False, None, None),
-        ("bnode:c1", rdf_t, owl + "Class", False, None, None),
-        ("bnode:c1", owl + "unionOf", "bnode:l1", False, None, None),
-        ("bnode:l1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#first", b, False, None, None),
-        ("bnode:l1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
-         "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil", False, None, None),
+    rows = [
+        (part_of, rdf_t, owl + "ObjectProperty"),
+        (obo + "ROOT_1", rdf_t, owl + "Class"),
     ]
+    by_region: dict = {}
+    for k, r in nations:
+        n, reg = f"{obo}NATION_{k}", f"{obo}REGION_{r}"
+        by_region.setdefault(r, []).append(n)
+        rows += [
+            (n, rdf_t, owl + "Class"),
+            (reg, rdf_t, owl + "Class"),
+            (n, sco, obo + "ROOT_1"),
+            # someValuesFrom restriction → (n, part_of, reg)
+            (n, sco, f"bnode:r{k}"),
+            (f"bnode:r{k}", rdf_t, owl + "Restriction"),
+            (f"bnode:r{k}", owl + "onProperty", part_of),
+            (f"bnode:r{k}", owl + "someValuesFrom", reg),
+        ]
+        if k % 2 == 0:
+            # intersectionOf list → (n, subClassOf, reg)
+            rows += [
+                (n, sco, f"bnode:c{k}"),
+                (f"bnode:c{k}", rdf_t, owl + "Class"),
+                (f"bnode:c{k}", owl + "intersectionOf", f"bnode:cl{k}"),
+                (f"bnode:cl{k}", first, reg),
+                (f"bnode:cl{k}", rest, nil),
+            ]
+        if k % 3 == 0:
+            # axiom reification → direct (n, subClassOf, reg)
+            ax = f"{obo}AX_{k}"
+            rows += [
+                (ax, rdf_t, owl + "Axiom"),
+                (ax, owl + "annotatedSource", n),
+                (ax, owl + "annotatedProperty", sco),
+                (ax, owl + "annotatedTarget", reg),
+            ]
+        if k % 5 == 0:
+            # negation restriction → root dropped, negation status row
+            neg = f"{obo}NEG_{k}"
+            rows += [
+                (neg, rdf_t, owl + "Class"),
+                (neg, sco, f"bnode:n{k}"),
+                (f"bnode:n{k}", rdf_t, owl + "Restriction"),
+                (f"bnode:n{k}", owl + "onProperty", obo + "lacks_part"),
+                (f"bnode:n{k}", owl + "someValuesFrom", reg),
+            ]
+    for r, members in sorted(by_region.items()):
+        # unionOf over the region's first two nations → (member, sco, U)
+        u = f"{obo}UNION_{r}"
+        rows += [
+            (u, rdf_t, owl + "Class"),
+            (u, sco, f"bnode:u{r}"),
+            (f"bnode:u{r}", rdf_t, owl + "Class"),
+            (f"bnode:u{r}", owl + "unionOf", f"bnode:ul{r}a"),
+            (f"bnode:ul{r}a", first, members[0]),
+            (f"bnode:ul{r}a", rest, f"bnode:ul{r}b"),
+            (f"bnode:ul{r}b", first, members[1] if len(members) > 1 else members[0]),
+            (f"bnode:ul{r}b", rest, nil),
+        ]
     fixture = spark.createDataFrame(
-        rows,
+        [(s, p, o, False, None, None) for s, p, o in rows],
         "s string, p string, o string, o_is_literal boolean, "
         "o_lang string, o_datatype string",
     )
-    triples = backbone.unionByName(fixture)
-    out = run_owlnets(triples, approach="subclass")
-    return out["owlnets"].select("s", "p", "o")
+    out = run_owlnets(fixture, approach="subclass")
+    return out["owlnets"].select("s", "p", "o").distinct()
 
 
 def q_pipeline_triples(spark, sf_dir):
+    """Flagship end-to-end: documents → mentions → linking → co-mention
+    edges → subclass-core triple construction, fully DuckDB-oracle-checked
+    (the oracle re-derives every stage in SQL including the pkt md5 node
+    ids)."""
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    pages = _doc_pages(spark, sf_dir)
+    out = run_pipeline(pages, _doc_dictionary(spark), min_pages=2)
+    return out["triples"].select("s", "p", "o").distinct()
+
+
+def q_pipeline_triples_synthetic(spark, sf_dir):
+    """run_pipeline over generated html pages (re-extract path) — the bench
+    configuration; page text is md5-derived so there is no SQL oracle
+    (rows-only gate)."""
     from pheknowlator_spark.sources.pages import entity_dictionary, generate_pages
     from pheknowlator_spark.webtext.pipeline import run_pipeline
 
@@ -870,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
+        "pipeline_triples_synthetic": q_pipeline_triples_synthetic,
     }
 
 
@@ -893,6 +963,85 @@ _LANG_HITS = {
     "es": "['el','la','los','que','es','una','por','con']",
     "fr": "['le','la','les','et','est','une','dans','pour']",
 }
+
+
+_TYPED_PAIRS_SQL = """
+    pe AS (SELECT DISTINCT doc_id, curie FROM mentions),
+    pairs AS (
+      SELECT x.doc_id, x.curie AS c1, y.curie AS c2
+      FROM pe x JOIN pe y ON x.doc_id = y.doc_id AND x.curie < y.curie),
+    typed AS (
+      SELECT doc_id,
+        CASE WHEN string_split(c1,'_')[1] = 'CHEBI' AND string_split(c2,'_')[1] = 'DOID' THEN 'chemical-disease'
+             WHEN string_split(c1,'_')[1] = 'CHEBI' AND string_split(c2,'_')[1] = 'PR' THEN 'chemical-protein'
+             WHEN string_split(c1,'_')[1] = 'DOID' AND string_split(c2,'_')[1] = 'PR' THEN 'protein-disease'
+             END AS edge_type,
+        CASE WHEN string_split(c1,'_')[1] = 'DOID' AND string_split(c2,'_')[1] = 'PR' THEN c2 ELSE c1 END AS sub_id,
+        CASE WHEN string_split(c1,'_')[1] = 'DOID' AND string_split(c2,'_')[1] = 'PR' THEN c1 ELSE c2 END AS obj_id,
+        CASE WHEN string_split(c1,'_')[1] = 'CHEBI' AND string_split(c2,'_')[1] = 'DOID' THEN 'RO_0002606'
+             WHEN string_split(c1,'_')[1] = 'CHEBI' AND string_split(c2,'_')[1] = 'PR' THEN 'RO_0002434'
+             WHEN string_split(c1,'_')[1] = 'DOID' AND string_split(c2,'_')[1] = 'PR' THEN 'RO_0003302'
+             END AS rel,
+        CASE WHEN string_split(c1,'_')[1] = 'CHEBI' AND string_split(c2,'_')[1] = 'PR' THEN 'RO_0002434'
+             END AS inv_rel
+      FROM pairs)
+"""
+
+
+def _pipeline_triples_sql() -> str:
+    """Full flagship-pipeline oracle: lang-filtered mention scan → linked
+    pairs → min_pages gate → subclass-core expansion with pkt md5 ids
+    (fwd 9 triples, +9 when an inverse relation exists)."""
+    mentions_cte = f"""
+mentions AS (
+  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, v.surface, v.curie
+  FROM documents d, (VALUES {_DICT_VALUES}) v(surface, curie)
+  WHERE d.lang = 'en'
+    AND regexp_matches(lower(d.text), '\\b' || v.surface || '\\b')
+)"""
+    core = (
+        "h AS (SELECT n1, n2, rel, inv,"
+        f" '{PKT}N' || md5('<'||n1||'><'||rel||'><'||n2||'>') AS u1,"
+        f" '{PKT}bnode/N' || md5('<'||n1||'><'||rel||'><'||n2||'>'||'<{_OWL}Restriction>') AS u2,"
+        f" '{PKT}N' || md5('<'||n2||'><'||inv||'><'||n1||'>') AS u3,"
+        f" '{PKT}bnode/N' || md5('<'||n2||'><'||inv||'><'||n1||'>'||'<{_OWL}Restriction>') AS u4"
+        " FROM e)"
+    )
+    fwd = f"""
+  SELECT n1 AS s, '{_RDF_TYPE}' AS p, '{_OWL}Class' AS o FROM h
+  UNION ALL SELECT u1, '{_SUBCLASSOF}', n1 FROM h
+  UNION ALL SELECT u1, '{_RDF_TYPE}', '{_OWL}Class' FROM h
+  UNION ALL SELECT u1, '{_SUBCLASSOF}', u2 FROM h
+  UNION ALL SELECT u2, '{_RDF_TYPE}', '{_OWL}Restriction' FROM h
+  UNION ALL SELECT u2, '{_OWL}someValuesFrom', n2 FROM h
+  UNION ALL SELECT n2, '{_RDF_TYPE}', '{_OWL}Class' FROM h
+  UNION ALL SELECT u2, '{_OWL}onProperty', rel FROM h
+  UNION ALL SELECT rel, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h"""
+    bwd = f"""
+  UNION ALL SELECT n2, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_SUBCLASSOF}', n2 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_SUBCLASSOF}', u4 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_RDF_TYPE}', '{_OWL}Restriction' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_OWL}someValuesFrom', n1 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT n1, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_OWL}onProperty', inv FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT inv, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h WHERE inv IS NOT NULL"""
+    return f"""
+WITH {mentions_cte.strip()},
+{_TYPED_PAIRS_SQL.strip()},
+gated AS (
+  SELECT edge_type, sub_id, obj_id, rel, inv_rel
+  FROM typed WHERE edge_type IS NOT NULL
+  GROUP BY ALL HAVING count(DISTINCT doc_id) >= 2),
+e AS (
+  SELECT DISTINCT '{OBO}' || sub_id AS n1, '{OBO}' || obj_id AS n2,
+         '{OBO}' || rel AS rel,
+         CASE WHEN inv_rel IS NULL THEN NULL ELSE '{OBO}' || inv_rel END AS inv
+  FROM gated),
+{core}
+SELECT DISTINCT s, p, o FROM ({fwd}{bwd})
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1171,6 +1320,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'C' || c_custkey AS s, 'locatedIn' AS p,
                    coalesce('R' || n_regionkey, 'N' || c_nationkey) AS o
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "pipeline_triples": _pipeline_triples_sql(),
+        # exact n-gram Jaccard — the MinHash query's exact-verification
+        # output must equal this set (banding recall 1.0 at gate SFs)
+        "minhash_near_dup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                       THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                       ELSE list_transform(
+                         range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                         i -> array_to_string(
+                           string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+                     END) AS sh
+              FROM documents WHERE doc_id < 200)
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM d x JOIN d y ON x.doc_id < y.doc_id
+            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                  greatest(len(list_distinct(x.sh || y.sh)), 1) >= 0.2
+        """,
+        # exact cosine top-5 — the LSH query's exact re-rank must equal
+        # this (candidate coverage of the true top-k at gate SFs)
+        "lsh_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                list_sum(list_transform(list_zip(q.qv, c.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / greatest(
+                    sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x))) *
+                    sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x))),
+                    1e-12) AS score
+              FROM q, embeddings c)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
         """,
         "logic_annotation_split": f"""
             WITH {_ANNOTATION_GRAPH_SQL.strip()}

@@ -67,17 +67,25 @@ class StageStore:
         t0 = time.time()
         df = fn()
         tmp = self._dir(stage) + ".tmp"
+        trash = self._dir(stage) + ".trash"
         final = self._dir(stage)
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(final, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        # write-then-swap: the previous committed snapshot survives any
+        # failure during fn()/the write (a crash before the swap leaves it
+        # untouched; a crash between the two renames leaves .trash for
+        # manual recovery — the new data is already complete at that point)
         writer.parquet(tmp)
+        self._write_lineage(stage, self.spark.read.parquet(tmp),
+                            (time.time() - t0) * 1000)
+        if os.path.exists(final):
+            os.rename(final, trash)
         os.rename(tmp, final)  # atomic commit on one filesystem
-        committed = self.spark.read.parquet(final)
-        self._write_lineage(stage, committed, (time.time() - t0) * 1000)
-        return committed
+        shutil.rmtree(trash, ignore_errors=True)
+        return self.spark.read.parquet(final)
 
     def _write_lineage(self, stage: str, df: DataFrame, wall_ms: float) -> None:
         per_part = (

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pheknowlator_spark.functions.rdf import nt_line
+from pheknowlator_spark.functions.rdf import n3_term, n3_uri, nt_line
 from pheknowlator_spark.operators.graph_algos import assign_integer_ids
 
 
@@ -97,18 +97,25 @@ def export_property_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     MultiDiGraph (convert_to_networkx, kg_utils.py:721-759).
 
     Returns (nodes [id], edges [src, dst, predicate, key]) where key is the
-    reference's md5(s+p+o) edge key (kg_utils.py:751).
+    reference's predicate_key = md5(n3(s)+n3(p)+n3(o)) over the
+    angle-bracketed N-Triples serializations (kg_utils.py:751).
     """
     nodes = (
         triples.select(F.col("s").alias("id"))
         .unionByName(triples.select(F.col("o").alias("id")))
         .distinct()
     )
+    if "o_is_literal" in triples.columns:
+        o_n3 = n3_term("o")
+    else:
+        o_n3 = n3_uri("o")
     edges = triples.select(
         F.col("s").alias("src"),
         F.col("o").alias("dst"),
         F.col("p").alias("predicate"),
-        F.md5(F.concat("s", "p", "o").cast("binary")).alias("key"),
+        F.md5(
+            F.concat(n3_uri("s"), n3_uri("p"), o_n3).cast("binary")
+        ).alias("key"),
     ).distinct()
     return nodes, edges
 

@@ -1,0 +1,171 @@
+"""Headline parity metric: triple-level precision/recall vs the reference
+build's emitted edge lists (BASELINE.json: "triple P/R >= 0.95 vs reference
+build").
+
+Two-layer derivation, both against reference-shipped artifacts:
+
+1. EDGE layer — run the engine's config-driven edge-list pipeline
+   (`build_edge_list`) over the reference repo's own fixture inputs
+   (tests/data/resource_info.txt, edge_data/*.tsv, identifier maps) and
+   score P/R against the edge lists the reference itself emitted for those
+   inputs (tests/data/Master_Edge_List_Dict.json, produced by its
+   CreatesEdgeList and asserted by its pytest suite).
+2. TRIPLE layer — expand the REFERENCE's expected edges through the
+   engine's constructors and score P/R against an independent hashlib/
+   N-Triples derivation of the published construction semantics
+   (construction_approaches.py:104-154) — the same oracle the md5-exact
+   constructor tests use.
+
+Writes PARITY_PR.json at the repo root and prints it.
+
+Usage: python scripts/parity_pr.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DATA = "/root/reference/tests/data"
+
+PKT = "https://github.com/callahantiff/PheKnowLator/pkt/"
+PKT_BNODE = "https://github.com/callahantiff/PheKnowLator/pkt/bnode/"
+OBO = "http://purl.obolibrary.org/obo/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+
+def pr(got: set, expected: set) -> dict:
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(expected) if expected else 1.0
+    return {
+        "got": len(got), "expected": len(expected), "tp": tp,
+        "precision": round(precision, 4), "recall": round(recall, 4),
+    }
+
+
+def expected_subclass_core(n1: str, n2: str, rel: str, inv: str | None) -> list:
+    """Independent hashlib derivation of the 9(+9) subclass-core triples
+    (construction_approaches.py:104-154)."""
+    core = f"<{n1}><{rel}><{n2}>"
+    u1 = PKT + "N" + hashlib.md5(core.encode()).hexdigest()
+    u2 = PKT_BNODE + "N" + hashlib.md5(
+        (core + f"<{OWL}Restriction>").encode()
+    ).hexdigest()
+    out = [
+        (n1, RDF_TYPE, OWL + "Class"),
+        (u1, RDFS_SUBCLASSOF, n1),
+        (u1, RDF_TYPE, OWL + "Class"),
+        (u1, RDFS_SUBCLASSOF, u2),
+        (u2, RDF_TYPE, OWL + "Restriction"),
+        (u2, OWL + "someValuesFrom", n2),
+        (n2, RDF_TYPE, OWL + "Class"),
+        (u2, OWL + "onProperty", rel),
+        (rel, RDF_TYPE, OWL + "ObjectProperty"),
+    ]
+    if inv:
+        out += expected_subclass_core(n2, n1, inv, None)
+    return out
+
+
+def main() -> None:
+    from pheknowlator_spark.operators.constructors import construct_edges
+    from pheknowlator_spark.operators.edge_list import (
+        build_edge_list,
+        parse_resource_info,
+    )
+    from pheknowlator_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="parity_pr", master="local[4]", shuffle_partitions=4)
+
+    with open(f"{REF_DATA}/resource_info.txt") as f:
+        configs = parse_resource_info(f.read())
+    with open(f"{REF_DATA}/Master_Edge_List_Dict.json") as f:
+        master = json.load(f)
+
+    edge_files = {
+        "chemical-disease": f"{REF_DATA}/edge_data/chemical-disease_CTD_chemicals_diseases.tsv",
+        "gene-disease": f"{REF_DATA}/edge_data/gene-disease_curated_gene_disease_associations.tsv",
+    }
+
+    report: dict = {"edge_level": {}, "triple_level": {}}
+    all_ok = True
+
+    for etype, cfg in configs.items():
+        if etype not in edge_files:
+            continue
+        # identifier-map paths in the fixture config point at the original
+        # author's machine; re-anchor basenames to the reference data dir
+        maps = {}
+        if cfg.identifier_maps not in ("None", ""):
+            fixed = []
+            for part in cfg.identifier_maps.split(";"):
+                col, path = part.split(":", 1)
+                local = f"{REF_DATA}/{os.path.basename(path)}"
+                fixed.append(f"{col}:{os.path.basename(path)}")
+                maps[os.path.basename(path)] = (
+                    spark.read.csv(local, sep="\t")
+                    .toDF("src_id", "tgt_id")
+                )
+            cfg.identifier_maps = ";".join(fixed)
+        got_df = build_edge_list(spark, cfg, edge_files[etype], maps)
+        got = {(r.sub_id, r.obj_id) for r in got_df.collect()}
+        expected = {tuple(e) for e in master[etype]["edge_list"]}
+        stats = pr(got, expected)
+        report["edge_level"][etype] = stats
+        all_ok &= stats["precision"] >= 0.95 and stats["recall"] >= 0.95
+
+    # triple layer: expand the REFERENCE's expected gene-disease edges via
+    # the engine (subclass approach, entity side mapped like the reference
+    # test suite's subclass_construction_map) and score against the
+    # independent hashlib oracle
+    gd = master["gene-disease"]
+    exp_edges = [tuple(e) for e in gd["edge_list"]]
+    uri1, uri2 = gd["uri"]
+    rel = gd["edge_relation"]
+    genes = sorted({s for s, _ in exp_edges})
+    rows = [
+        ("gene-disease", "entity", "class", s, o, uri1, uri2, rel, None)
+        for s, o in exp_edges
+    ]
+    edges_df = spark.createDataFrame(
+        rows,
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    smap = spark.createDataFrame(
+        [(g, "SO_0001217") for g in genes], "entity_id string, class_id string"
+    )
+    triples_df, errors = construct_edges(edges_df, smap, approach="subclass")
+    got_triples = {(r.s, r.p, r.o) for r in triples_df.select("s", "p", "o").collect()}
+
+    expected_triples: set = set()
+    for s, o in exp_edges:
+        n1, n2 = uri1 + s, uri2 + o
+        expected_triples |= set(expected_subclass_core(n1, n2, OBO + rel, None))
+        expected_triples.add((n1, RDFS_SUBCLASSOF, OBO + "SO_0001217"))
+        expected_triples.add((OBO + "SO_0001217", RDF_TYPE, OWL + "Class"))
+    stats = pr(got_triples, expected_triples)
+    stats["construction_errors"] = errors.count()
+    report["triple_level"]["gene-disease"] = stats
+    all_ok &= stats["precision"] >= 0.95 and stats["recall"] >= 0.95
+
+    report["pass"] = bool(all_ok)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "PARITY_PR.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,9 @@ def test_export_property_graph(spark):
     nodes, edges = export_property_graph(triples)
     assert {r.id for r in nodes.collect()} == {"s1", "o1", "o2"}
     got = {(r.src, r.dst, r.predicate, r.key) for r in edges.collect()}
-    expected_key = hashlib.md5("s1p1o1".encode()).hexdigest()
+    # reference predicate_key = md5 over N-Triples serializations
+    # (kg_utils.py:751: n3(s)+n3(p)+n3(o))
+    expected_key = hashlib.md5("<s1><p1><o1>".encode()).hexdigest()
     assert ("s1", "o1", "p1", expected_key) in got
 
 
