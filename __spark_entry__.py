@@ -782,6 +782,43 @@ annot AS (
 )"""
 
 
+def q_metadata_extract(spark, sf_dir):
+    """extract_metadata (reference metadata.py:101-155): harvest the
+    metadata table from a graph of nation-derived classes + relations."""
+    from pheknowlator_spark.operators.metadata import extract_metadata
+
+    nation = _read(spark, sf_dir, "nation")
+    lbl = "http://www.w3.org/2000/01/rdf-schema#label"
+    iao = OBO + "IAO_0000115"
+    syn = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
+    n_uri = F.concat(F.lit(OBO + "NATION_"), F.col("n_nationkey"))
+    r_uri = F.concat(F.lit(OBO + "REL_"), F.col("n_regionkey"))
+
+    def t(s, p, o, lit):
+        return F.struct(
+            s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
+            F.lit(lit).alias("o_is_literal"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
+
+    arr = F.array(
+        t(n_uri, _RDF_TYPE, F.lit(_OWL_NS + "Class"), False),
+        t(n_uri, lbl, F.col("n_name"), True),
+        t(n_uri, iao, F.concat(F.lit("region "), F.col("n_regionkey")), True),
+        t(n_uri, syn, F.lower(F.col("n_name")), True),
+        t(r_uri, _RDF_TYPE, F.lit(_OWL_NS + "ObjectProperty"), False),
+        t(r_uri, lbl, F.concat(F.lit("rel "), F.col("n_regionkey")), True),
+    )
+    g = nation.select(F.explode(arr).alias("t")).select("t.*").distinct()
+    meta = extract_metadata(g)
+    return meta.select(
+        "uri", "kind", "label",
+        F.coalesce("description", F.lit("")).alias("description"),
+        F.concat_ws("|", F.coalesce("synonyms", F.array())).alias("synonym_list"),
+    )
+
+
 def q_owlnets_decode(spark, sf_dir):
     """OWL-NETS decode over a deterministic synthetic ontology: per-nation
     someValuesFrom restrictions, intersectionOf lists, axiom reifications,
@@ -933,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bnode_namespace_roundtrip": q_bnode_namespace_roundtrip,
         "canonical_rewrite": q_canonical_rewrite,
         "logic_annotation_split": q_logic_annotation_split,
+        "metadata_extract": q_metadata_extract,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
@@ -1322,6 +1360,30 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
         "pipeline_triples": _pipeline_triples_sql(),
+        # extract_metadata: nodes = Class-typed subjects (label required,
+        # '#'-subjects excluded), relations = ObjectProperty subjects,
+        # + builtin subClassOf/type rows; synonyms sorted-distinct
+        "metadata_extract": f"""
+            WITH nodes AS (
+              SELECT '{OBO}NATION_' || n_nationkey AS uri, 'nodes' AS kind,
+                     min(n_name) AS label,
+                     'region ' || min(n_regionkey) AS description,
+                     min(lower(n_name)) AS synonym_list
+              FROM nation GROUP BY n_nationkey),
+            rels AS (
+              SELECT DISTINCT '{OBO}REL_' || n_regionkey AS uri,
+                     'relations' AS kind,
+                     'rel ' || n_regionkey AS label,
+                     '' AS description, '' AS synonym_list
+              FROM nation)
+            SELECT * FROM nodes
+            UNION ALL SELECT * FROM rels
+            UNION ALL VALUES
+              ('http://www.w3.org/2000/01/rdf-schema#subClassOf', 'relations',
+               'subClassOf', 'The subject is a subclass of a class.', ''),
+              ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'relations',
+               'type', 'The subject is an instance of a class.', '')
+        """,
         # exact n-gram Jaccard — the MinHash query's exact-verification
         # output must equal this set (banding recall 1.0 at gate SFs)
         "minhash_near_dup": r"""

@@ -299,13 +299,18 @@ def data_reducer(df: DataFrame, cols: str) -> DataFrame:
         if dict(out.dtypes)[c] in ("double", "float"):
             out = out.withColumn(c, F.col(c).cast("long").cast("string"))
         else:
-            # string cells like '19.0' → '19' (pandas astype(int) parity)
+            # pandas read_csv type-inference parity (edge_list.py:109,212):
+            # numeric-looking cells lose surrounding whitespace and a
+            # trailing '.0' ('  19' → '19', '19.0' → '19')
+            trimmed = F.trim(F.col(c).cast("string"))
             out = out.withColumn(
                 c,
                 F.when(
-                    F.col(c).cast("string").rlike(r"^-?[0-9]+\.0+$"),
-                    F.regexp_replace(F.col(c).cast("string"), r"\.0+$", ""),
-                ).otherwise(F.col(c).cast("string")),
+                    trimmed.rlike(r"^-?[0-9]+\.0+$"),
+                    F.regexp_replace(trimmed, r"\.0+$", ""),
+                )
+                .when(trimmed.rlike(r"^-?[0-9]+$"), trimmed)
+                .otherwise(F.col(c).cast("string")),
             )
     return out.toDF("sub_id", "obj_id")
 

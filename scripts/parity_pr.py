@@ -74,16 +74,12 @@ def expected_subclass_core(n1: str, n2: str, rel: str, inv: str | None) -> list:
     return out
 
 
-def main() -> None:
+def compute_report(spark) -> dict:
     from pheknowlator_spark.operators.constructors import construct_edges
     from pheknowlator_spark.operators.edge_list import (
         build_edge_list,
         parse_resource_info,
     )
-    from pheknowlator_spark.session import get_spark
-    from pyspark.sql import functions as F
-
-    spark = get_spark(app_name="parity_pr", master="local[4]", shuffle_partitions=4)
 
     with open(f"{REF_DATA}/resource_info.txt") as f:
         configs = parse_resource_info(f.read())
@@ -158,13 +154,23 @@ def main() -> None:
     all_ok &= stats["precision"] >= 0.95 and stats["recall"] >= 0.95
 
     report["pass"] = bool(all_ok)
-    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "PARITY_PR.json")
+    return report
+
+
+def main() -> None:
+    from pheknowlator_spark.session import get_spark
+
+    spark = get_spark(app_name="parity_pr", master="local[4]", shuffle_partitions=4)
+    report = compute_report(spark)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY_PR.json",
+    )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
     spark.stop()
-    sys.exit(0 if all_ok else 1)
+    sys.exit(0 if report["pass"] else 1)
 
 
 if __name__ == "__main__":
