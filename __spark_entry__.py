@@ -456,6 +456,33 @@ def q_minhash_near_dup(spark, sf_dir):
     return minhash_near_duplicates(docs, threshold=0.2).select("a", "b")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup over the corpus plus 50 synthesized twins
+    (vec_id+10000, element 0 nudged) — LSH-bucketed candidates + exact
+    cosine verify must recover exactly the twin pairs (threshold 0.9 sits
+    far above the corpus's max natural cosine of 0.52)."""
+    from pheknowlator_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    el0 = F.element_at("embedding", 1).cast("double") * 0.9 + 0.05
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(el0),
+            F.transform(
+                F.slice("embedding", 2, 63), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    pairs = embedding_near_duplicates(corpus, threshold=0.9, dim=64)
+    return pairs.select("a", "b")
+
+
 # ---- no SQL oracle (token-hash bit math, not SQL-expressible);
 # ---- driver does rows-only; exactness asserted in test_training_ops ----
 def q_simhash_near_dup(spark, sf_dir):
@@ -972,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logic_annotation_split": q_logic_annotation_split,
         "metadata_extract": q_metadata_extract,
         "minhash_near_dup": q_minhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
         "multimodal_features": q_multimodal_features,
@@ -1402,6 +1430,24 @@ def oracle_sql() -> dict[str, str]:
             FROM d x JOIN d y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                   greatest(len(list_distinct(x.sh || y.sh)), 1) >= 0.2
+        """,
+        # exact all-pairs cosine over corpus + synthesized twins — the
+        # LSH-bucketed near-dup output must equal this set
+        "embedding_near_dup": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000,
+                     [CAST(embedding[1] AS DOUBLE) * 0.9 + 0.05] ||
+                     list_transform(embedding[2:64], x -> CAST(x AS DOUBLE))
+              FROM embeddings WHERE vec_id < 50)
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM base x JOIN base y ON x.vec_id < y.vec_id
+            WHERE list_sum(list_transform(list_zip(x.e, y.e), p -> p[1]*p[2]))
+                  / greatest(sqrt(list_sum(list_transform(x.e, q -> q*q))) *
+                             sqrt(list_sum(list_transform(y.e, q -> q*q))),
+                             1e-12) >= 0.9
         """,
         # exact cosine top-5 — the LSH query's exact re-rank must equal
         # this (candidate coverage of the true top-k at gate SFs)

@@ -249,3 +249,64 @@ def simhash_near_duplicates(
         cands.select("a", "b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: [a, b, cosine].
+
+    Scale path mirrors ``similarity.lsh_topk``: random-hyperplane LSH
+    buckets both copies of the corpus, candidates share a (table, bucket)
+    key, and only candidates get the exact cosine — never an all-pairs
+    cross join. High thresholds (near-dup regime) put true pairs in the
+    same bucket with probability ≥ 1-(1-(1-θ/π)^bits)^tables, which the
+    chosen defaults push past 0.99 at θ ≈ 18° (cos 0.95).
+    """
+    from pheknowlator_spark.operators.similarity import (
+        _bucket_expr,
+        _hyperplanes,
+        cosine,
+    )
+
+    if dim is None:
+        meta = dict(vectors.schema[vec_col].metadata or {})
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError("embedding_near_duplicates needs dim= (or column metadata)")
+
+    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    buckets = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        b = v.select(
+            "__id",
+            "__v",
+            F.lit(t).alias("table"),
+            _bucket_expr(F.col("__v"), planes).alias("bucket"),
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+
+    left = buckets.select(
+        "table", "bucket", F.col("__id").alias("a"), F.col("__v").alias("__va")
+    )
+    right = buckets.select(
+        "table", "bucket", F.col("__id").alias("b"), F.col("__v").alias("__vb")
+    )
+    cands = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "__va", "__vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -79,3 +79,61 @@ def incremental_triples(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Custom stateful operator: cross-micro-batch EXACT dedup via
+    ``applyInPandasWithState`` — emits each normalized-text fingerprint's
+    first-seen document (min id within the first batch that carries it)
+    and suppresses every later duplicate, across batches.
+
+    State is one row per fingerprint group (seen flag + representative),
+    hash-partitioned by the shuffle — the streaming twin of
+    ``dedup.dedup_exact``; a batch backfill and this operator agree on the
+    surviving set (asserted in tests). At 10^12-doc scale state is bounded
+    by distinct-content count and lives in the state store, not memory.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pheknowlator_spark.functions.text import fingerprint64
+
+    src = docs_stream.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        fingerprint64(F.col(text_col)).alias("fp"),
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        fp = key[0]
+        if state.exists:
+            # fingerprint already represented — suppress everything
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"doc_id": [], "fp": []}).astype(
+                {"doc_id": "object", "fp": "int64"}
+            )
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["doc_id"].min()
+                best = cand if best is None else min(best, cand)
+        if best is None:
+            yield pd.DataFrame({"doc_id": [], "fp": []}).astype(
+                {"doc_id": "object", "fp": "int64"}
+            )
+            return
+        state.update((1,))
+        yield pd.DataFrame({"doc_id": [best], "fp": [fp]})
+
+    return src.groupBy("fp").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_id string, fp long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,87 @@
+"""Stateful-streaming + checkpoint-resilience tests (§2.11 + north rule's
+"resumable from checkpoint with per-partition lineage")."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    # duplicates spread ACROSS micro-batches must still dedup (state store),
+    # and the surviving set equals the batch dedup_exact result
+    from pheknowlator_spark.operators.dedup import dedup_exact
+    from pheknowlator_spark.streaming.events import streaming_dedup
+
+    rows1 = [("d1", "alpha beta"), ("d2", "gamma"), ("d3", "alpha beta")]
+    rows2 = [("d4", "alpha beta"), ("d5", "delta"), ("d6", "gamma")]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, "doc_id string, text string").coalesce(1)\
+        .write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, "doc_id string, text string").coalesce(1)\
+        .write.parquet(src + "/b2")
+    # one directory of parquet files, one file per micro-batch
+    import glob, shutil
+    merged = str(tmp_path / "stream_in")
+    os.makedirs(merged)
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{merged}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+
+    batch = spark.createDataFrame(rows1 + rows2, "doc_id string, text string")
+    expected = {r.doc_id for r in dedup_exact(batch).collect()}
+    assert got == expected
+    assert got == {"d1", "d2", "d5"}
+
+
+def test_stagestore_swap_preserves_previous_snapshot(spark, tmp_path):
+    # a failure during recompute must leave the previously committed stage
+    # intact (write-then-swap, not delete-then-write)
+    from pheknowlator_spark.plans.checkpoint import StageStore
+
+    store = StageStore(spark, str(tmp_path / "stages"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out1 = store.run("s1", lambda: df1)
+    assert out1.count() == 2
+
+    def boom():
+        raise RuntimeError("recompute failed")
+
+    with pytest.raises(RuntimeError):
+        store.run("s1", boom, force=True)
+    # previous snapshot still committed and readable
+    assert store.is_committed("s1")
+    back = store.run("s1", lambda: (_ for _ in ()).throw(AssertionError("fn must not run")))
+    assert {(r.id, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_stagestore_lineage_partitioned_write(spark, tmp_path):
+    # per-partition lineage rows exist for a partitioned stage write
+    from pheknowlator_spark.plans.checkpoint import StageStore
+
+    store = StageStore(spark, str(tmp_path / "stages"))
+    df = spark.createDataFrame(
+        [(i, "t%d" % (i % 3)) for i in range(30)], "id int, part string"
+    )
+    store.run("tp", lambda: df, partition_by=["part"])
+    lin = store.lineage().filter(F.col("stage") == "tp")
+    rows = lin.collect()
+    assert sum(r.output_rows for r in rows) == 30
+    assert all(r.wall_ms >= 0 for r in rows)
