@@ -1,0 +1,146 @@
+"""Full-build driver test (FullBuild.construct_knowledge_graph parity,
+knowledge_graph.py:540-641): reference OWL fixture in → staged, resumable
+build out, with the class-membership gate, metadata enrichment, header
+replacement, and OWL-NETS decode all exercised end-to-end."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pheknowlator_spark.plans.checkpoint import StageStore
+from pheknowlator_spark.plans.full_build import (
+    apply_inverse_relations,
+    full_build,
+    load_relation_maps,
+    merge_ontologies,
+)
+
+REF = "/root/reference/tests/data"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/PheKnowLator_Closed.owl"),
+    reason="reference fixtures not present",
+)
+
+RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OWL = "http://www.w3.org/2002/07/owl#"
+OBO = "http://purl.obolibrary.org/obo/"
+
+
+@pytest.fixture(scope="module")
+def ontology(spark):
+    from pheknowlator_spark.sources.rdfxml import read_rdfxml
+
+    return read_rdfxml(spark, f"{REF}/PheKnowLator_Closed.owl")
+
+
+def test_load_relation_maps(spark):
+    inv, labels = load_relation_maps(
+        spark, f"{REF}/INVERSE_RELATIONS.txt", f"{REF}/RELATIONS_LABELS.txt"
+    )
+    pairs = {(r.relation, r.inverse) for r in inv.collect()}
+    assert ("RO_0004004", "RO_0004014") in pairs
+    assert labels.count() > 0
+
+
+def test_apply_inverse_relations(spark):
+    inv = spark.createDataFrame(
+        [("RO_0004004", "RO_0004014")], "relation string, inverse string"
+    )
+    edges = spark.createDataFrame(
+        [("t", "class", "class", "A", "B", OBO, OBO, "RO_0004004", None),
+         ("t", "class", "class", "A", "B", OBO, OBO, "RO_0009999", None),
+         ("t", "class", "class", "A", "B", OBO, OBO, "RO_0004004", "RO_X")],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    got = {(r.rel, r.inv_rel) for r in apply_inverse_relations(edges, inv).collect()}
+    assert got == {("RO_0004004", "RO_0004014"), ("RO_0009999", None),
+                   ("RO_0004004", "RO_X")}
+
+
+def test_full_build_stages_and_resume(spark, tmp_path, ontology):
+    # two SO classes that exist in the fixture ontology
+    classes = [
+        r.node for r in
+        ontology.filter((F.col("p") == RDF_T) & (F.col("o") == OWL + "Class"))
+        .select(F.col("s").alias("node")).distinct()
+        .filter(F.col("node").startswith(OBO + "SO_"))
+        .orderBy("node").limit(2).collect()
+    ]
+    assert len(classes) == 2
+    c1, c2 = (c.replace(OBO, "") for c in classes)
+    edges = spark.createDataFrame(
+        [
+            ("so-so", "class", "class", c1, c2, OBO, OBO, "RO_0004004", None),
+            # class side missing from the ontology → P9 gate drops the edge
+            ("so-so", "class", "class", "DOID_999999", c2, OBO, OBO,
+             "RO_0004004", None),
+        ],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    inv, _ = load_relation_maps(
+        spark, f"{REF}/INVERSE_RELATIONS.txt", f"{REF}/RELATIONS_LABELS.txt"
+    )
+    # the Closed fixture ships label-free; a second "ontology" contributes
+    # labels so metadata harvest + G6 enrichment are non-trivial
+    labels_ont = spark.createDataFrame(
+        [(classes[0], "http://www.w3.org/2000/01/rdf-schema#label",
+          "first so class", True, None, None)],
+        "s string, p string, o string, o_is_literal boolean, "
+        "o_lang string, o_datatype string",
+    )
+    store = StageStore(spark, str(tmp_path / "build"))
+    out = full_build(
+        spark, store, [ontology, labels_ont], edges,
+        inverse_relations=inv, approach="subclass",
+        date_full="04/02/2020 21:22:56",
+    )
+    # gate dropped the bogus edge; inverse filled from the map → 18 core
+    # triples for the surviving class-class edge
+    cons = {(r.s, r.p, r.o) for r in out["constructed_edges"].collect()}
+    assert len(cons) >= 15  # 18 minus overlaps with duplicate typing triples
+    assert not any("DOID_999999" in s or "DOID_999999" in o for s, _, o in cons)
+    # inverse applied: subclass mode puts it as the backward restriction's
+    # owl:onProperty object
+    assert any(o == OBO + "RO_0004014" for _, _, o in cons)
+
+    fg = out["full_graph"]
+    # old ontology header stripped, new 7-triple header present
+    assert fg.filter(
+        F.col("s").startswith("https://pheknowlator.com/")
+    ).count() == 7
+    # metadata enrichment put labels back for graph nodes
+    assert fg.filter(
+        F.col("p") == "http://www.w3.org/2000/01/rdf-schema#label"
+    ).count() > 0
+    assert out["owlnets"].count() > 0
+    # split parity: logic + annotation == merged
+    assert (
+        out["logic_subset"].count() + out["annotation_subset"].count()
+        == out["merged_ontology"].count()
+    )
+
+    # resume: every stage reads back committed parquet — fn never invoked
+    store2 = StageStore(spark, str(tmp_path / "build"))
+    out2 = full_build(
+        spark, store2, [ontology, labels_ont], edges,
+        inverse_relations=inv, approach="subclass",
+        date_full="DIFFERENT — must not matter on resume",
+    )
+    assert out2["full_graph"].count() == fg.count()
+    manifest = store2.manifest()
+    assert set(manifest["stages"]) >= {
+        "merged_ontology", "metadata", "logic_subset", "annotation_subset",
+        "constructed_edges", "full_graph", "owlnets",
+    }
+
+
+def test_merge_ontologies_set_semantics(spark):
+    a = spark.createDataFrame(
+        [("s", "p", "o", False, None, None)],
+        "s string, p string, o string, o_is_literal boolean, "
+        "o_lang string, o_datatype string",
+    )
+    assert merge_ontologies([a, a, a]).count() == 1
