@@ -212,12 +212,20 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share at least one of ``blocks`` 16-bit
+    """SimHash near-dup: candidates share at least one of ``blocks`` bit
     blocks (pigeonhole: hamming ≤ blocks-1 guarantees a shared block), then
-    exact hamming filter. Returns [a, b, hamming]."""
-    width = 64 // blocks
+    exact hamming filter — so with the default ``blocks = max_hamming + 1``
+    the result is EXACTLY the hamming-ball pair set (no false negatives),
+    while candidate generation stays a (block, key) bucket join.
+    Returns [a, b, hamming]."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks > 64:
+        raise ValueError("blocks must be <= 64 (64-bit simhash)")
+    # block boundaries cover all 64 bits, widths differ by at most one bit
+    bounds = [round(i * 64 / blocks) for i in range(blocks + 1)]
     sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
     banded = sh.select(
         id_col,
@@ -227,8 +235,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
-                        F.shiftrightunsigned(F.col("sim"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned(F.col("sim"), bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("key"),
                     )
                     for i in range(blocks)

@@ -212,3 +212,28 @@ def test_frame_sample_metadata_only(spark):
     assert plan.count() > 0
     # binary column pruned from the scan
     assert "media" not in plan.columns
+
+
+def test_simhash_pigeonhole_exactness(spark, documents):
+    # with blocks = max_hamming + 1 the bucketed candidate set provably
+    # covers every pair within the hamming ball — bucketed output must
+    # EQUAL the brute-force all-pairs result
+    from pheknowlator_spark.operators.dedup import (
+        simhash64,
+        simhash_near_duplicates,
+    )
+
+    docs = documents.filter(F.col("doc_id") < 150)
+    got = {(r.a, r.b, r.hamming)
+           for r in simhash_near_duplicates(docs, max_hamming=6).collect()}
+    sh = docs.select("doc_id", simhash64(F.col("text")).alias("sim"))
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sim").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sim").alias("sb"))
+    brute = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+    expected = {(r.a, r.b, r.hamming) for r in brute.collect()}
+    assert got == expected
