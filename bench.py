@@ -43,6 +43,8 @@ HEADLINE = [
     "mentions",
     "comention_edges",
     "token_stats",
+    "logic_annotation_split",
+    "embedding_near_dup",
     "pipeline_triples",
 ]
 

@@ -22,11 +22,16 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     spark.createDataFrame(rows2, "doc_id string, text string").coalesce(1)\
         .write.parquet(src + "/b2")
     # one directory of parquet files, one file per micro-batch
-    import glob, shutil
+    import glob, shutil, time
     merged = str(tmp_path / "stream_in")
     os.makedirs(merged)
+    base = time.time() - 1000
     for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
-        shutil.copy(f, f"{merged}/{i:03d}.parquet")
+        dst = f"{merged}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # the file stream source orders batches by modification time —
+        # pin strictly increasing mtimes so batch order is deterministic
+        os.utime(dst, (base + 60 * i, base + 60 * i))
 
     stream = (
         spark.readStream.schema("doc_id string, text string")
