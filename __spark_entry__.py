@@ -950,6 +950,24 @@ def q_pipeline_triples(spark, sf_dir):
     return out["triples"].select("s", "p", "o").distinct()
 
 
+SAME_AS_PAIRS = [("CHEBI_200", "CHEBI_100"), ("DOID_200", "DOID_100")]
+
+
+def q_pipeline_canonicalized(spark, sf_dir):
+    """Flagship pipeline WITH canonicalization: same-as edges → iterative
+    connected components → broadcast identity rewrite before pair
+    derivation (north rule: union-find over same-as edges merging node
+    identities). Fully oracle-checked including the merged pkt md5 ids."""
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    pages = _doc_pages(spark, sf_dir)
+    same_as = spark.createDataFrame(SAME_AS_PAIRS, "a string, b string")
+    out = run_pipeline(
+        pages, _doc_dictionary(spark), same_as=same_as, min_pages=2
+    )
+    return out["triples"].select("s", "p", "o").distinct()
+
+
 def q_pipeline_triples_synthetic(spark, sf_dir):
     """run_pipeline over generated html pages (re-extract path) — the bench
     configuration; page text is md5-derived so there is no SQL oracle
@@ -1005,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
+        "pipeline_canonicalized": q_pipeline_canonicalized,
         "pipeline_triples_synthetic": q_pipeline_triples_synthetic,
     }
 
@@ -1054,13 +1073,17 @@ _TYPED_PAIRS_SQL = """
 """
 
 
-def _pipeline_triples_sql() -> str:
+def _pipeline_triples_sql(curie_rewrite: str | None = None) -> str:
     """Full flagship-pipeline oracle: lang-filtered mention scan → linked
     pairs → min_pages gate → subclass-core expansion with pkt md5 ids
-    (fwd 9 triples, +9 when an inverse relation exists)."""
+    (fwd 9 triples, +9 when an inverse relation exists).
+    ``curie_rewrite``: optional SQL expression over ``v.curie`` applying
+    the canonicalization map (same-as CC closed form)."""
+    curie_expr = curie_rewrite or "v.curie"
     mentions_cte = f"""
 mentions AS (
-  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, v.surface, v.curie
+  SELECT DISTINCT CAST(d.doc_id AS VARCHAR) AS doc_id, v.surface,
+         {curie_expr} AS curie
   FROM documents d, (VALUES {_DICT_VALUES}) v(surface, curie)
   WHERE d.lang = 'en'
     AND regexp_matches(lower(d.text), '\\b' || v.surface || '\\b')
@@ -1388,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
         "pipeline_triples": _pipeline_triples_sql(),
+        # canonicalization closed form: the same-as CC maps each cluster to
+        # its lexicographic-min member
+        "pipeline_canonicalized": _pipeline_triples_sql(
+            curie_rewrite=(
+                "CASE "
+                + " ".join(
+                    f"WHEN v.curie = '{a}' THEN '{b}'" for a, b in SAME_AS_PAIRS
+                )
+                + " ELSE v.curie END"
+            )
+        ),
         # extract_metadata: nodes = Class-typed subjects (label required,
         # '#'-subjects excluded), relations = ObjectProperty subjects,
         # + builtin subClassOf/type rows; synonyms sorted-distinct
