@@ -88,6 +88,24 @@ def merge_ontologies(parts: list[DataFrame]) -> DataFrame:
     return out.distinct()
 
 
+def post_closure_build(
+    spark: SparkSession,
+    store: StageStore,
+    closed_graph: DataFrame,
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """PostClosureBuild (knowledge_graph.py:452-530): same flow as
+    ``full_build`` but the input is an externally reasoner-closed graph
+    (ELK/HermiT output, parsed via ``sources.rdfxml``) and edge
+    construction is skipped — edges are already in the closed graph."""
+    empty_edges = spark.createDataFrame(
+        [],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    return full_build(spark, store, [closed_graph], empty_edges, **kwargs)
+
+
 def full_build(
     spark: SparkSession,
     store: StageStore,

@@ -144,3 +144,16 @@ def test_merge_ontologies_set_semantics(spark):
         "o_lang string, o_datatype string",
     )
     assert merge_ontologies([a, a, a]).count() == 1
+
+
+def test_post_closure_build(spark, tmp_path, ontology):
+    # PostClosureBuild: reasoner-closed graph in, no edge construction
+    from pheknowlator_spark.plans.full_build import post_closure_build
+
+    store = StageStore(spark, str(tmp_path / "pc"))
+    out = post_closure_build(
+        spark, store, ontology, date_full="04/02/2020 21:22:56"
+    )
+    assert out["constructed_edges"].count() == 0
+    assert out["full_graph"].count() > 0
+    assert out["owlnets"].count() > 0
