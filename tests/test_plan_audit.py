@@ -88,3 +88,33 @@ def test_comention_pipeline_single_shuffle(spark):
     assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
     # exactly two aggregate shuffles: groupBy(url) and the scoring groupBy
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_self_join_avoids_shuffle(spark, tmp_path):
+    # subject-bucketed storage → co-located self-join: no Exchange on
+    # either side of the SortMergeJoin
+    from pheknowlator_spark.sources.sinks import write_bucketed_triples
+
+    triples = spark.range(0, 1000).select(
+        F.concat(F.lit("n"), (F.col("id") % 97)).alias("s"),
+        F.lit("p").alias("p"),
+        F.concat(F.lit("n"), ((F.col("id") + 1) % 97)).alias("o"),
+    )
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS bucketed_triples_test")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    shutil.rmtree(f"{wh}/bucketed_triples_test", ignore_errors=True)
+    write_bucketed_triples(triples, "bucketed_triples_test", buckets=8)
+    t = spark.table("bucketed_triples_test")
+    # MERGE hint pins a sort-merge join (AQE would broadcast at this size);
+    # bucketing means SMJ needs NO shuffle exchange on either side
+    joined = (
+        t.alias("l").hint("merge")
+        .join(t.alias("r"), "s")
+        .filter(F.col("l.o") != F.col("r.o"))
+    )
+    joined.collect()
+    plan = plan_of(joined)
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan
+    spark.sql("DROP TABLE IF EXISTS bucketed_triples_test")
