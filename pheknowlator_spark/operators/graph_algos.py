@@ -8,9 +8,13 @@
 * ``assign_integer_ids`` — S13/W2 dense id assignment
   (kg_utils.py:653-699) without a single-partition window.
 
-Each iteration localCheckpoints to cut lineage (SURVEY §4: checkpoint every
-iteration); at cluster scale these become Iceberg/parquet checkpoint writes
-— see plans.checkpoint.
+Each iteration cuts lineage (SURVEY §4: checkpoint every iteration).
+``set_reliable_checkpoints(spark, dir)`` switches the cut from
+``localCheckpoint`` (executor-local blocks — fast, but lost with an
+executor in cluster mode) to RELIABLE ``checkpoint`` writes under a
+fault-tolerant directory — required on a real multi-executor cluster,
+where losing one executor mid-iteration would otherwise recompute the
+whole chain. Local mode keeps the default: one JVM, no executor loss.
 """
 
 from __future__ import annotations
@@ -18,8 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_RELIABLE = {"enabled": False}
+
+
+def set_reliable_checkpoints(spark, checkpoint_dir: str | None) -> None:
+    """Route iteration lineage cuts through reliable checkpoints (HDFS/
+    object-store ``checkpoint_dir``); pass None to revert to
+    localCheckpoint."""
+    if checkpoint_dir is None:
+        _RELIABLE["enabled"] = False
+        return
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _RELIABLE["enabled"] = True
+
 
 def _cut_lineage(df: DataFrame) -> DataFrame:
+    if _RELIABLE["enabled"]:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 

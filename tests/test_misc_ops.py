@@ -279,3 +279,27 @@ def test_split_logic_annotation_cases(spark):
     assert (x1, owl + "annotatedSource", a) in got_logic
     # count parity (kg_utils.py:640)
     assert len(got_logic) + len(got_annot) == len(rows)
+
+
+def test_reliable_checkpoints_toggle(spark, tmp_path):
+    # connected_components produces identical results with reliable
+    # checkpoint writes (the multi-executor-cluster mode) as with
+    # localCheckpoint (local-mode default)
+    from pheknowlator_spark.operators.graph_algos import (
+        connected_components,
+        set_reliable_checkpoints,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    base = {(r.node, r.component) for r in connected_components(edges).collect()}
+    set_reliable_checkpoints(spark, str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            (r.node, r.component) for r in connected_components(edges).collect()
+        }
+    finally:
+        set_reliable_checkpoints(spark, None)
+    assert base == reliable
+    assert base == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
