@@ -188,17 +188,24 @@ def main() -> None:
     t_quarter, reps_q = _timed(quarter, reps, run_pipeline_job)
     t_full, reps_f = _timed(full, reps, run_pipeline_job)
     # retry-on-variance: a system-CPU storm during one side's window skews
-    # the ratio; when the measured efficiency is implausible AND that side's
-    # reps show storm-level spread, re-measure it once (all reps recorded)
+    # the ratio in EITHER direction (sub-linear if the 4N window was hit,
+    # super-linear if the N window was); when the efficiency is implausible
+    # AND a side's reps show storm-level spread, re-measure that side
+    # (all reps recorded)
     for _ in range(2):
         eff_now = (t_quarter / t_full) / (full / quarter)
-        if eff_now >= 0.8:
+        if 0.8 <= eff_now <= 1.1:
             break
         spread_q = max(reps_q) / max(min(reps_q), 0.001)
         spread_f = max(reps_f) / max(min(reps_f), 0.001)
         if max(spread_q, spread_f) < 1.4:
             break  # measurements are stable — the number is the number
-        if spread_f >= spread_q:
+        suspect = "full" if eff_now < 0.8 else "quarter"
+        if suspect == "full" and spread_f < spread_q:
+            suspect = "quarter"
+        elif suspect == "quarter" and spread_q < spread_f:
+            suspect = "full"
+        if suspect == "full":
             t2, r2 = _timed(full, reps, run_pipeline_job)
             reps_f += r2
             t_full = min(t_full, t2)
