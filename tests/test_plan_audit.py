@@ -118,3 +118,20 @@ def test_bucketed_self_join_avoids_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" in plan
     spark.sql("DROP TABLE IF EXISTS bucketed_triples_test")
+
+
+def test_partitioned_triples_partition_pruning(spark, tmp_path):
+    # triples stored partitionBy(edge_type) — an edge_type filter prunes
+    # at the directory level (PartitionFilters), the parquet analog of the
+    # Iceberg partition-transform layout submit_pipeline writes
+    out = str(tmp_path / "triples_part")
+    spark.createDataFrame(
+        [("a-b", "s%d" % i, "p", "o%d" % i) for i in range(50)]
+        + [("c-d", "t%d" % i, "p", "u%d" % i) for i in range(50)],
+        "edge_type string, s string, p string, o string",
+    ).write.partitionBy("edge_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("edge_type") == "a-b")
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "edge_type" in pf
+    assert df.count() == 50

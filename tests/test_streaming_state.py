@@ -90,3 +90,50 @@ def test_stagestore_lineage_partitioned_write(spark, tmp_path):
     rows = lin.collect()
     assert sum(r.output_rows for r in rows) == 30
     assert all(r.wall_ms >= 0 for r in rows)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    # events later than the watermark horizon must not re-open closed
+    # windows in append mode — run TWO sequential availableNow queries over
+    # a shared checkpoint so the watermark (persisted in the checkpoint)
+    # genuinely precedes the late arrival (late-data semantics, §2.11)
+    import glob, os, shutil
+    from pheknowlator_spark.streaming.events import windowed_event_counts
+
+    src = str(tmp_path / "ev")
+    merged = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+    os.makedirs(merged)
+    on_time = [("2024-01-01 00:10:00", "click"), ("2024-01-01 03:00:00", "view")]
+    late = [("2024-01-01 00:20:00", "click")]  # 2h40m late vs max ts
+    spark.createDataFrame(on_time, "ts string, event_type string")\
+        .coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(late, "ts string, event_type string")\
+        .coalesce(1).write.parquet(src + "/b2")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts string, event_type string")
+            .parquet(merged)
+        )
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    shutil.copy(glob.glob(src + "/b1/part-*.parquet")[0], merged + "/a.parquet")
+    run_once()  # watermark advances to 02:00 (03:00 - 1h), 00:00 win closes
+    shutil.copy(glob.glob(src + "/b2/part-*.parquet")[0], merged + "/b.parquet")
+    run_once()  # the 00:20 event is behind the persisted watermark → dropped
+
+    rows = {(str(r.hour), r.event_type, r.cnt)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert ("2024-01-01 00:00:00", "click", 1) in rows
+    assert not any(c > 1 for _, _, c in rows)
