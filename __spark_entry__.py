@@ -968,6 +968,19 @@ def q_pipeline_canonicalized(spark, sf_dir):
     return out["triples"].select("s", "p", "o").distinct()
 
 
+def q_pipeline_instance(spark, sf_dir):
+    """Flagship pipeline with the INSTANCE construction approach (G2 at
+    pipeline level): pkt instance ids hashed over least(rel, inverse) with
+    subject/object suffixes — fully oracle-checked."""
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    pages = _doc_pages(spark, sf_dir)
+    out = run_pipeline(
+        pages, _doc_dictionary(spark), min_pages=2, approach="instance"
+    )
+    return out["triples"].select("s", "p", "o").distinct()
+
+
 def q_pipeline_triples_synthetic(spark, sf_dir):
     """run_pipeline over generated html pages (re-extract path) — the bench
     configuration; page text is md5-derived so there is no SQL oracle
@@ -1024,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_canonicalized": q_pipeline_canonicalized,
+        "pipeline_instance": q_pipeline_instance,
         "pipeline_triples_synthetic": q_pipeline_triples_synthetic,
     }
 
@@ -1073,10 +1087,13 @@ _TYPED_PAIRS_SQL = """
 """
 
 
-def _pipeline_triples_sql(curie_rewrite: str | None = None) -> str:
+def _pipeline_triples_sql(
+    curie_rewrite: str | None = None, approach: str = "subclass"
+) -> str:
     """Full flagship-pipeline oracle: lang-filtered mention scan → linked
-    pairs → min_pages gate → subclass-core expansion with pkt md5 ids
-    (fwd 9 triples, +9 when an inverse relation exists).
+    pairs → min_pages gate → constructor expansion with pkt md5 ids
+    (subclass: 9 fwd +9 inverse triples; instance: 6 fwd +2 inverse with
+    the least(rel, inv) hash relation).
     ``curie_rewrite``: optional SQL expression over ``v.curie`` applying
     the canonicalization map (same-as CC closed form)."""
     curie_expr = curie_rewrite or "v.curie"
@@ -1088,6 +1105,37 @@ mentions AS (
   WHERE d.lang = 'en'
     AND regexp_matches(lower(d.text), '\\b' || v.surface || '\\b')
 )"""
+    if approach == "instance":
+        core = (
+            "h AS (SELECT n1, n2, rel, inv,"
+            f" '{PKT}N' || md5('<'||n1||'><'||coalesce(least(rel, inv), rel)||'><'||n2||'>'||'subject') AS u1,"
+            f" '{PKT}N' || md5('<'||n1||'><'||coalesce(least(rel, inv), rel)||'><'||n2||'>'||'object') AS u2"
+            " FROM e)"
+        )
+        body = f"""
+  SELECT u1 AS s, '{_RDF_TYPE}' AS p, n1 AS o FROM h
+  UNION ALL SELECT u1, '{_RDF_TYPE}', '{_OWL}NamedIndividual' FROM h
+  UNION ALL SELECT u2, '{_RDF_TYPE}', n2 FROM h
+  UNION ALL SELECT u2, '{_RDF_TYPE}', '{_OWL}NamedIndividual' FROM h
+  UNION ALL SELECT u1, rel, u2 FROM h
+  UNION ALL SELECT rel, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h
+  UNION ALL SELECT u2, inv, u1 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT inv, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h WHERE inv IS NOT NULL"""
+        return f"""
+WITH {mentions_cte.strip()},
+{_TYPED_PAIRS_SQL.strip()},
+gated AS (
+  SELECT edge_type, sub_id, obj_id, rel, inv_rel
+  FROM typed WHERE edge_type IS NOT NULL
+  GROUP BY ALL HAVING count(DISTINCT doc_id) >= 2),
+e AS (
+  SELECT DISTINCT '{OBO}' || sub_id AS n1, '{OBO}' || obj_id AS n2,
+         '{OBO}' || rel AS rel,
+         CASE WHEN inv_rel IS NULL THEN NULL ELSE '{OBO}' || inv_rel END AS inv
+  FROM gated),
+{core}
+SELECT DISTINCT s, p, o FROM ({body})
+"""
     core = (
         "h AS (SELECT n1, n2, rel, inv,"
         f" '{PKT}N' || md5('<'||n1||'><'||rel||'><'||n2||'>') AS u1,"
@@ -1411,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         """,
         "pipeline_triples": _pipeline_triples_sql(),
+        "pipeline_instance": _pipeline_triples_sql(approach="instance"),
         # canonicalization closed form: the same-as CC maps each cluster to
         # its lexicographic-min member
         "pipeline_canonicalized": _pipeline_triples_sql(
