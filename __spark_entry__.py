@@ -527,6 +527,21 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_edge_type_stats(spark, sf_dir):
+    """A3: per-edge-type triple/subject/object counts over a typed triple
+    table (edge_type_statistics, reference knowledge_graph.py:295-314)."""
+    from pheknowlator_spark.operators.stats import edge_type_statistics
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = li.select(
+        F.col("l_linestatus").alias("edge_type"),
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("s"),
+        F.col("l_returnflag").alias("p"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("o"),
+    )
+    return edge_type_statistics(triples)
+
+
 def q_edge_list_stats(spark, sf_dir):
     from pheknowlator_spark.operators.edge_list import edge_list_stats
 
@@ -850,11 +865,32 @@ def q_owlnets_decode(spark, sf_dir):
     """OWL-NETS decode over a deterministic synthetic ontology: per-nation
     someValuesFrom restrictions, intersectionOf lists, axiom reifications,
     negation restrictions (lacks_part → dropped root + status), per-region
-    unionOf lists, plus a plain subclass backbone. Iterative forest
-    assignment + applyInPandas decode — not SQL-expressible (rows-only
-    gate; exact decode rules are unit-asserted in test_owlnets)."""
+    unionOf lists, plus a plain subclass backbone. The decode itself is an
+    iterative forest assignment + applyInPandas tree walk, but the EXPECTED
+    output is closed-form from the generation rules (reference decode
+    semantics, pkt_kg/owlnets.py:501-589), so a DuckDB oracle applies:
+
+    * someValuesFrom restriction → (NATION_k, part_of, REGION_r) for all k;
+    * plain backbone → (NATION_k, subClassOf, ROOT_1) for all k;
+    * axiom reification (k%3==0) → direct (NATION_k, subClassOf, REGION_r);
+    * intersectionOf (k%2==0) would yield the same (n, subClassOf, reg) but
+      the within-root duplicate-(s,o) resolution (A10, owlnets.py:591-619)
+      prefers the restriction's part_of — so it contributes nothing;
+    * unionOf per region → (member, subClassOf, UNION_r) for the region's
+      two lowest-keyed nations (reversed union semantics);
+    * negation roots (k%5==0) are dropped entirely;
+    * connectivity repair → (X, subClassOf, BFO_0000001) for every
+      ancestor-less node: each REGION_r, each UNION_r, and ROOT_1."""
     from pheknowlator_spark.operators.owlnets import run_owlnets
 
+    fixture = _owlnets_fixture(spark, sf_dir)
+    out = run_owlnets(fixture, approach="subclass")
+    return out["owlnets"].select("s", "p", "o").distinct()
+
+
+def _owlnets_fixture(spark, sf_dir):
+    """Deterministic synthetic OWL ontology over the nation table (shared
+    by q_owlnets_decode and bench.py's full_build composition stage)."""
     obo = OBO
     owl = "http://www.w3.org/2002/07/owl#"
     rdf_t = _RDF_TYPE
@@ -929,13 +965,11 @@ def q_owlnets_decode(spark, sf_dir):
             (f"bnode:ul{r}b", first, members[1] if len(members) > 1 else members[0]),
             (f"bnode:ul{r}b", rest, nil),
         ]
-    fixture = spark.createDataFrame(
+    return spark.createDataFrame(
         [(s, p, o, False, None, None) for s, p, o in rows],
         "s string, p string, o string, o_is_literal boolean, "
         "o_lang string, o_datatype string",
     )
-    out = run_owlnets(fixture, approach="subclass")
-    return out["owlnets"].select("s", "p", "o").distinct()
 
 
 def q_pipeline_triples(spark, sf_dir):
@@ -1018,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
         "events_windowed": q_events_windowed,
+        "edge_type_stats": q_edge_type_stats,
         "edge_list_stats": q_edge_list_stats,
         "synonym_dictionary": q_synonym_dictionary,
         "self_loop_filter": q_self_loop_filter,
@@ -1389,6 +1424,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "edge_type_stats": """
+            WITH t AS (
+              SELECT l_linestatus AS edge_type, 'O' || l_orderkey AS s,
+                     l_returnflag AS p, 'P' || l_partkey AS o
+              FROM lineitem)
+            SELECT edge_type, count(*) AS n_triples,
+                   count(DISTINCT s) AS n_subjects,
+                   count(DISTINCT o) AS n_objects
+            FROM t GROUP BY 1
+        """,
+        # closed-form expected OWL-NETS decode of the synthetic fixture —
+        # see q_owlnets_decode's docstring for the rule-by-rule derivation
+        "owlnets_decode": f"""
+            WITH nn AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+            mem AS (
+              SELECT k, r FROM (
+                SELECT k, r, row_number() OVER (PARTITION BY r ORDER BY k) AS rn
+                FROM nn) WHERE rn <= 2)
+            SELECT DISTINCT s, p, o FROM (
+              SELECT '{OBO}NATION_' || k AS s, '{OBO}BFO_0000050' AS p,
+                     '{OBO}REGION_' || r AS o FROM nn
+              UNION ALL
+              SELECT '{OBO}NATION_' || k, '{_SUBCLASSOF}', '{OBO}ROOT_1' FROM nn
+              UNION ALL
+              SELECT '{OBO}NATION_' || k, '{_SUBCLASSOF}', '{OBO}REGION_' || r
+              FROM nn WHERE k % 3 = 0
+              UNION ALL
+              SELECT '{OBO}NATION_' || k, '{_SUBCLASSOF}', '{OBO}UNION_' || r
+              FROM mem
+              UNION ALL
+              SELECT DISTINCT '{OBO}REGION_' || r, '{_SUBCLASSOF}',
+                     '{OBO}BFO_0000001' FROM nn
+              UNION ALL
+              SELECT DISTINCT '{OBO}UNION_' || r, '{_SUBCLASSOF}',
+                     '{OBO}BFO_0000001' FROM nn
+              UNION ALL
+              SELECT '{OBO}ROOT_1', '{_SUBCLASSOF}', '{OBO}BFO_0000001'
+            )
         """,
         "edge_list_stats": """
             SELECT l_returnflag AS edge_type,

@@ -159,39 +159,20 @@ def _timed(cores: int, reps: int, job, max_reps: int | None = None) -> tuple[flo
     return best, times
 
 
-def main() -> None:
-    import __spark_entry__ as entry_mod
+def _scaled_pair(
+    job, quarter: int, full: int, reps: int
+) -> tuple[float, float, list, list]:
+    """Measure ``job`` at N and 4N cores with symmetric retry-on-variance.
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    results: dict[str, float] = {}
-
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
-    queries = entry_mod.queries()
-    # one warmup action so JVM/codegen startup doesn't pollute query times
-    force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
-
-    t_total0 = time.time()
-    for name in HEADLINE:
-        t0 = time.time()
-        force(queries[name](spark, SF_DIR))
-        results[name] = round(time.time() - t0, 3)
-    spark.stop()
-
-    total = round(time.time() - t_total0, 3)
-
-    # scaling: identical pages→triples job at N vs 4N cores (sandbox
-    # stand-in for N vs 4N executors; BASELINE.md documents the mapping)
-    stage_pages(N_PAGES)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    quarter = SCALE_N
-    full = 4 * SCALE_N
-    t_quarter, reps_q = _timed(quarter, reps, run_pipeline_job)
-    t_full, reps_f = _timed(full, reps, run_pipeline_job)
-    # retry-on-variance: a system-CPU storm during one side's window skews
-    # the ratio in EITHER direction (sub-linear if the 4N window was hit,
-    # super-linear if the N window was); when the efficiency is implausible
-    # AND a side's reps show storm-level spread, re-measure that side
-    # (all reps recorded)
+    A system-CPU storm during one side's window skews the ratio in EITHER
+    direction (sub-linear if the 4N window was hit, super-linear if the N
+    window was); when the efficiency is implausible AND a side's reps show
+    storm-level spread, re-measure that side (all reps recorded). Applied
+    identically to every measured stage — the scan ratio gets the same
+    rigor as the pipeline ratio.
+    """
+    t_quarter, reps_q = _timed(quarter, reps, job)
+    t_full, reps_f = _timed(full, reps, job)
     for _ in range(2):
         eff_now = (t_quarter / t_full) / (full / quarter)
         if 0.8 <= eff_now <= 1.1:
@@ -206,15 +187,83 @@ def main() -> None:
         elif suspect == "quarter" and spread_q < spread_f:
             suspect = "full"
         if suspect == "full":
-            t2, r2 = _timed(full, reps, run_pipeline_job)
+            t2, r2 = _timed(full, reps, job)
             reps_f += r2
             t_full = min(t_full, t2)
         else:
-            t2, r2 = _timed(quarter, reps, run_pipeline_job)
+            t2, r2 = _timed(quarter, reps, job)
             reps_q += r2
             t_quarter = min(t_quarter, t2)
-    scan_quarter, scan_reps_q = _timed(quarter, reps, run_scan_job)
-    scan_full, scan_reps_f = _timed(full, reps, run_scan_job)
+    return t_quarter, t_full, reps_q, reps_f
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    results: dict[str, float] = {}
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    queries = entry_mod.queries()
+    # one warmup action so JVM/codegen startup doesn't pollute query times
+    force(spark.read.parquet(f"{SF_DIR}/region.parquet"))
+
+    # best-of-N per query (plan built once, each rep re-executes the whole
+    # job through a noop sink): single-rep numbers on this VM carry up to
+    # 4x storm noise, which made regressions undiagnosable across rounds
+    q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        best = float("inf")
+        for _ in range(q_reps):
+            t0 = time.time()
+            force(df)
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
+
+    # full_build stage composition (ontology fixture → merge → split →
+    # gate → construct → assemble → decode, every stage a parquet commit):
+    # measures the CHECKPOINT overhead of the resumable driver, not just
+    # the operator plans
+    import shutil
+    import tempfile
+
+    from pheknowlator_spark.plans.checkpoint import StageStore
+    from pheknowlator_spark.plans.full_build import full_build
+
+    best = float("inf")
+    for _ in range(q_reps):
+        d = tempfile.mkdtemp(prefix="pkt_bench_fb_")
+        try:
+            t0 = time.time()
+            out = full_build(
+                spark,
+                StageStore(spark, d),
+                [entry_mod._owlnets_fixture(spark, SF_DIR)],
+                entry_mod._nation_region_edges(spark, SF_DIR, "RO_0001015"),
+                approach="subclass",
+            )
+            out["owlnets"].count()
+            best = min(best, time.time() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    results["full_build"] = round(best, 3)
+    spark.stop()
+
+    total = round(sum(results.values()), 3)
+
+    # scaling: identical pages→triples job at N vs 4N cores (sandbox
+    # stand-in for N vs 4N executors; BASELINE.md documents the mapping)
+    stage_pages(N_PAGES)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    quarter = SCALE_N
+    full = 4 * SCALE_N
+    t_quarter, t_full, reps_q, reps_f = _scaled_pair(
+        run_pipeline_job, quarter, full, reps
+    )
+    scan_quarter, scan_full, scan_reps_q, scan_reps_f = _scaled_pair(
+        run_scan_job, quarter, full, reps
+    )
     pages_per_hour = N_PAGES / t_full * 3600
 
     thr_n, thr_4n = N_PAGES / t_quarter, N_PAGES / t_full

@@ -273,9 +273,14 @@ def embedding_near_duplicates(
     Scale path mirrors ``similarity.lsh_topk``: random-hyperplane LSH
     buckets both copies of the corpus, candidates share a (table, bucket)
     key, and only candidates get the exact cosine — never an all-pairs
-    cross join. High thresholds (near-dup regime) put true pairs in the
-    same bucket with probability ≥ 1-(1-(1-θ/π)^bits)^tables, which the
-    chosen defaults push past 0.99 at θ ≈ 18° (cos 0.95).
+    cross join. Pair recall is 1-(1-(1-θ/π)^bits)^tables: at the default
+    bits=8/tables=6 that is ≈0.97 at θ ≈ 18.2° (cos 0.95) — i.e. ~3% of
+    true pairs AT the threshold boundary are expected to miss bucketing
+    (the exact-verify step filters false positives, not false negatives).
+    Tighter duplicates collide with much higher probability (≈0.999 at
+    cos 0.99; exactly 1.0 for identical vectors). Callers needing ≥0.99
+    recall at cos 0.95 should pass ``tables=10`` (≈0.996) and pay the
+    proportionally larger bucketing fan-out.
     """
     from pheknowlator_spark.operators.similarity import (
         _bucket_expr,

@@ -198,13 +198,43 @@ def compile_criterion(df: DataFrame, crit: str) -> DataFrame:
         sort_col = df.columns[int(sort_idx)]
         filter_col = df.columns[int(filter_idx)]
         asc = parts[-1].lower() == "asc"
-        order = F.col(sort_col).asc() if asc else F.col(sort_col).desc()
         # the reference relies on pandas stable sort + input order for ties
         # (edge_list.py:172-173); distributed execution has no input order, so
         # ties break deterministically on the remaining columns ascending
-        tiebreak = [
-            F.col(c).asc() for c in df.columns if c not in (sort_col, filter_col)
-        ]
+        others = [c for c in df.columns if c not in (sort_col, filter_col)]
+        dtype = dict(df.dtypes)[sort_col]
+        numeric = dtype in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ) or dtype.startswith("decimal")
+        if asc or numeric:
+            # fast path: keep-first == arg-min over a total ordering key, so
+            # a single min_by hash aggregation (map-side partial combine —
+            # one candidate row per key per partition crosses the shuffle)
+            # replaces the full-sort row_number window, whose sort payload
+            # is every column of every row. Ordering: ascending struct
+            # comparison == multi-column ORDER BY ASC NULLS FIRST; desc on a
+            # numeric sort column inverts via (is-null-last flag, -value).
+            if asc:
+                key_fields = [F.col(sort_col).alias("__k")]
+            else:
+                key_fields = [
+                    F.col(sort_col).isNull().cast("int").alias("__kn"),
+                    (-F.col(sort_col)).alias("__k"),
+                ]
+            ordering = F.struct(
+                *key_fields,
+                *[F.col(c).alias(f"__t{i}") for i, c in enumerate(others)],
+            )
+            row = F.struct(*[F.col(c).alias(c) for c in df.columns])
+            return (
+                df.groupBy(filter_col)
+                .agg(F.min_by(row, ordering).alias("__w"))
+                .select("__w.*")
+            )
+        # fallback (descending non-numeric sort column, which has no clean
+        # order-inverse for an aggregation key): row_number window
+        order = F.col(sort_col).asc() if asc else F.col(sort_col).desc()
+        tiebreak = [F.col(c).asc() for c in others]
         w = Window.partitionBy(filter_col).orderBy(order, *tiebreak)
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -328,23 +358,32 @@ def label_formatter(df: DataFrame, label_criteria: str) -> DataFrame:
     formatter to every cell; otherwise regex-strip everything up to and
     including the cut, substituting the formatter (edge_list.py:237-241).
 
-    The any-cell-contains probe is one cheap aggregate per node column (2
-    columns, config-scale — not a per-row decision, which would diverge on
-    mixed columns).
+    The any-cell-contains probes for ALL node columns are fused into ONE
+    aggregate (one extra job per edge type, not one per column — not a
+    per-row decision, which would diverge on mixed columns).
     """
     parts = label_criteria.split(";")
     cut = parts[0]
-    for idx, formatter in enumerate(parts[1:]):
+    formatters = parts[1:]
+    any_cut_flags: dict[int, bool] = {}
+    if cut != "":
+        probe_idx = list(range(len(formatters)))
+        if probe_idx:
+            row = df.agg(
+                *[
+                    F.max(
+                        F.col(df.columns[idx]).cast("string").contains(cut)
+                    ).alias(f"f{idx}")
+                    for idx in probe_idx
+                ]
+            ).collect()[0]
+            any_cut_flags = {idx: bool(row[f"f{idx}"]) for idx in probe_idx}
+    for idx, formatter in enumerate(formatters):
         col_name = df.columns[idx]
         col = F.col(col_name).cast("string")
         if cut == "" and formatter == "":
             continue
-        if cut == "":
-            any_cut = False
-        else:
-            any_cut = bool(
-                df.agg(F.max(col.contains(cut)).alias("m")).collect()[0].m
-            )
+        any_cut = any_cut_flags.get(idx, False)
         if (cut == "" and formatter != "") or not any_cut:
             if formatter != "":
                 df = df.withColumn(col_name, F.concat(F.lit(formatter), col))
@@ -357,6 +396,42 @@ def label_formatter(df: DataFrame, label_criteria: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F8: recursive delimiter-packed cell unnest
+# ---------------------------------------------------------------------------
+
+def explodes_data(
+    df: DataFrame,
+    lst_cols: list[str],
+    splitter: str,
+    fill_value: str = "None",
+) -> DataFrame:
+    """F8: un-nest delimiter-packed cells into rows, one column at a time
+    (reference ``explodes_data``, pkt_kg/utils/data_utils.py:293-330).
+
+    Reference semantics per column: split the cell on ``splitter``, drop
+    empty fragments, emit one row per fragment; rows whose cell splits to
+    nothing (empty/only-delimiters) are KEPT with ``fill_value``. Columns
+    explode independently (the recursion in the reference), so two packed
+    columns produce the cross product of their fragments per input row —
+    identical here because each explode multiplies rows before the next.
+
+    All map-side (generator explode, no shuffle); row order is not
+    preserved (the reference re-sorts by original index, which has no
+    distributed analog — every consumer dedups or joins afterwards).
+    """
+    out = df
+    for c in lst_cols:
+        fragments = F.filter(
+            F.split(F.col(c).cast("string"), re.escape(splitter)),
+            lambda x: x != "",
+        )
+        out = out.withColumn(c, F.explode_outer(fragments)).withColumn(
+            c, F.coalesce(F.col(c), F.lit(fill_value))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # J1/J2: identifier-map joins
 # ---------------------------------------------------------------------------
 
@@ -364,6 +439,7 @@ def apply_identifier_maps(
     df: DataFrame,
     identifier_maps: str,
     map_frames: dict[str, DataFrame],
+    map_delimiter: str | None = None,
 ) -> DataFrame:
     """Translate source ids → ontology CURIEs via broadcast inner joins.
 
@@ -372,7 +448,11 @@ def apply_identifier_maps(
     inner join per mapped column (unmapped rows drop), then keep the mapped
     ids for both columns, distinct.
 
-    Each mapping DataFrame must have columns ``[src_id, tgt_id]``.
+    Each mapping DataFrame must have columns ``[src_id, tgt_id]``. When
+    ``map_delimiter`` is given, mapping cells are delimiter-packed
+    (multi-valued, the grammar the reference feeds through ``explodes_data``
+    before merging, data_utils.py:293-330) and are un-nested first — a
+    packed cell that stayed packed would silently under-join.
     """
     if identifier_maps in ("None", "", None):
         return df
@@ -384,7 +464,10 @@ def apply_identifier_maps(
         if col_name is None:
             raise ValueError(f"identifier map index out of range: {spec!r}")
         target = "sub_id" if idx == 0 else "obj_id"
-        m = map_frames[map_key].select(
+        map_df = map_frames[map_key]
+        if map_delimiter:
+            map_df = explodes_data(map_df, ["src_id", "tgt_id"], map_delimiter)
+        m = map_df.select(
             F.col("src_id").alias("__src"), F.col("tgt_id").alias("__tgt")
         )
         out = (
@@ -405,11 +488,14 @@ def build_edge_list(
     source_path: str,
     map_frames: dict[str, DataFrame] | None = None,
     label_criteria: str | None = None,
+    map_delimiter: str | None = None,
 ) -> DataFrame:
     """scan → filter → reduce → relabel → map-join → drop 'None' rows.
 
     Returns ``[edge_type, sub_id, obj_id]`` (the tall replacement for the
     reference's nested ``edge_list`` arrays, edge_list.py:376-378).
+    ``map_delimiter``: delimiter of packed multi-valued mapping cells
+    (F8 ``explodes_data`` applied to the mapping tables before joining).
     """
     df = read_edge_source(spark, source_path, config.delimiter)
     df = filter_data(df, config.filter_criteria, config.evidence_criteria)
@@ -420,7 +506,9 @@ def build_edge_list(
     )
     if effective_labels and effective_labels not in ("None", ";;"):
         df = label_formatter(df, effective_labels)
-    df = apply_identifier_maps(df, config.identifier_maps, map_frames or {})
+    df = apply_identifier_maps(
+        df, config.identifier_maps, map_frames or {}, map_delimiter
+    )
     df = df.filter((F.col("sub_id") != "None") & (F.col("obj_id") != "None"))
     return df.select(
         F.lit(config.edge_type).alias("edge_type"), "sub_id", "obj_id"

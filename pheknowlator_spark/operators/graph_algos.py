@@ -22,22 +22,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RELIABLE = {"enabled": False}
+_RELIABLE_CONF = "spark.pheknowlator.reliableCheckpoints"
 
 
 def set_reliable_checkpoints(spark, checkpoint_dir: str | None) -> None:
     """Route iteration lineage cuts through reliable checkpoints (HDFS/
     object-store ``checkpoint_dir``); pass None to revert to
-    localCheckpoint."""
+    localCheckpoint. The toggle is scoped to ``spark``'s session conf —
+    concurrent sessions/threads with their own SparkSession are unaffected
+    (a process-global flag would flip them all, possibly without a
+    checkpoint dir set). Prefer :func:`reliable_checkpoints` for a
+    guaranteed reset."""
     if checkpoint_dir is None:
-        _RELIABLE["enabled"] = False
+        spark.conf.set(_RELIABLE_CONF, "false")
         return
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    _RELIABLE["enabled"] = True
+    spark.conf.set(_RELIABLE_CONF, "true")
+
+
+class reliable_checkpoints:
+    """Context manager: ``with reliable_checkpoints(spark, dir): ...`` —
+    enables reliable iteration checkpoints for the session and always
+    restores the previous mode on exit."""
+
+    def __init__(self, spark, checkpoint_dir: str):
+        self._spark = spark
+        self._dir = checkpoint_dir
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(_RELIABLE_CONF, "false")
+        set_reliable_checkpoints(self._spark, self._dir)
+        return self._spark
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(_RELIABLE_CONF, self._prev)
+        return False
 
 
 def _cut_lineage(df: DataFrame) -> DataFrame:
-    if _RELIABLE["enabled"]:
+    if df.sparkSession.conf.get(_RELIABLE_CONF, "false") == "true":
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

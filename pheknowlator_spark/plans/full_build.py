@@ -32,10 +32,11 @@ from pheknowlator_spark.operators.metadata import (
     metadata_triples,
 )
 from pheknowlator_spark.operators.owl_filters import (
+    annotation_assertions,
     checks_classes,
     class_nodes,
+    graph_difference,
     remove_self_loops,
-    split_logic_annotation,
 )
 from pheknowlator_spark.operators.owlnets import run_owlnets
 from pheknowlator_spark.plans.checkpoint import StageStore
@@ -88,6 +89,107 @@ def merge_ontologies(parts: list[DataFrame]) -> DataFrame:
     return out.distinct()
 
 
+def _construct_gated_edges(
+    merged: DataFrame,
+    edges: DataFrame,
+    subclass_map: DataFrame | None,
+    inverse_relations: DataFrame | None,
+    approach: str,
+) -> DataFrame:
+    """Inverse-relation fill + P9 class-membership gate + G3-G5 construction
+    (shared by full_build / partial_build)."""
+    e = edges
+    if inverse_relations is not None:
+        e = apply_inverse_relations(e, inverse_relations)
+    # P9 class-membership gate (knowledge_graph.py:248-267): class
+    # sides must exist in the merged ontology; entity sides skip
+    resolved = e.withColumn(
+        "n1_uri", F.concat("uri1", "sub_id")
+    ).withColumn("n2_uri", F.concat("uri2", "obj_id"))
+    gated = checks_classes(
+        resolved,
+        class_nodes(merged),
+        sub_is_class=F.col("n1_kind") == "class",
+        obj_is_class=F.col("n2_kind") == "class",
+    ).drop("n1_uri", "n2_uri")
+    triples, _errors = construct_edges(gated, subclass_map, approach)
+    return triples.select(
+        "s", "p", "o",
+        F.lit(False).alias("o_is_literal"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("string").alias("o_datatype"),
+    ).distinct()
+
+
+def partial_build(
+    spark: SparkSession,
+    store: StageStore,
+    ontologies: list[DataFrame],
+    edges: DataFrame,
+    subclass_map: DataFrame | None = None,
+    inverse_relations: DataFrame | None = None,
+    approach: str = "subclass",
+) -> dict[str, DataFrame]:
+    """PartialBuild (reference pkt_kg/__init__.py:22-34,
+    knowledge_graph.py:354-442): construct the edge-extended LOGIC graph
+    and keep the annotation subset SEPARATE for the external-reasoner step
+    — no metadata enrichment, no ontology header, no OWL-NETS decode.
+
+    Output contract mirrors tests/test_knowledge_graph_partial.py:124-137:
+    three committed stages standing in for the reference's three files —
+    ``logic_with_edges`` (*_LogicOnly.nt: logic subset + constructed
+    edges), ``annotation_subset`` (*_AnnotationsOnly.nt), and
+    ``partial_graph`` (*_OWL.nt: their merge with pkt bnode namespaces
+    stripped, knowledge_graph.py:436-438). ``post_closure_build`` consumes
+    the reasoner-closed result afterwards (the 8-flavor build matrix,
+    builds/README.md:124-134).
+    """
+    from pheknowlator_spark.functions.rdf import remove_bnode_namespace
+
+    merged = store.run("merged_ontology", lambda: merge_ontologies(ontologies))
+    metadata = store.run("metadata", lambda: extract_metadata(merged))
+    annotations = store.run(
+        "annotation_subset", lambda: annotation_assertions(merged)
+    )
+    logic = store.run(
+        "logic_subset", lambda: graph_difference(merged, annotations)
+    )
+    constructed = store.run(
+        "constructed_edges",
+        lambda: _construct_gated_edges(
+            merged, edges, subclass_map, inverse_relations, approach
+        ),
+    )
+    logic_full = store.run(
+        "logic_with_edges",
+        lambda: logic.select(*TRIPLE_COLS)
+        .unionByName(constructed.select(*TRIPLE_COLS))
+        .distinct(),
+    )
+
+    def merge_partial() -> DataFrame:
+        full = annotations.select(*TRIPLE_COLS).unionByName(
+            logic_full.select(*TRIPLE_COLS)
+        )
+        # the merged partial graph strips pkt bnode namespacing; the logic/
+        # annotation subsets keep it (knowledge_graph.py:435-438)
+        return full.withColumn(
+            "s", remove_bnode_namespace(F.col("s"))
+        ).withColumn("o", remove_bnode_namespace(F.col("o"))).distinct()
+
+    partial = store.run("partial_graph", merge_partial)
+    store.write_manifest()
+    return {
+        "merged_ontology": merged,
+        "metadata": metadata,
+        "annotation_subset": annotations,
+        "logic_subset": logic,
+        "constructed_edges": constructed,
+        "logic_with_edges": logic_full,
+        "partial_graph": partial,
+    }
+
+
 def post_closure_build(
     spark: SparkSession,
     store: StageStore,
@@ -127,37 +229,22 @@ def full_build(
 
     metadata = store.run("metadata", lambda: extract_metadata(merged))
 
-    logic = store.run(
-        "logic_subset", lambda: split_logic_annotation(merged)[0]
-    )
+    # the classification joins run ONCE: commit the annotation subset, then
+    # logic is the anti-join difference against the COMMITTED parquet
+    # (kg_utils.py:640 computes logic = full − annotations the same way)
     annotations = store.run(
-        "annotation_subset", lambda: split_logic_annotation(merged)[1]
+        "annotation_subset", lambda: annotation_assertions(merged)
+    )
+    logic = store.run(
+        "logic_subset", lambda: graph_difference(merged, annotations)
     )
 
-    def build_edges() -> DataFrame:
-        e = edges
-        if inverse_relations is not None:
-            e = apply_inverse_relations(e, inverse_relations)
-        # P9 class-membership gate (knowledge_graph.py:248-267): class
-        # sides must exist in the merged ontology; entity sides skip
-        resolved = e.withColumn(
-            "n1_uri", F.concat("uri1", "sub_id")
-        ).withColumn("n2_uri", F.concat("uri2", "obj_id"))
-        gated = checks_classes(
-            resolved,
-            class_nodes(merged),
-            sub_is_class=F.col("n1_kind") == "class",
-            obj_is_class=F.col("n2_kind") == "class",
-        ).drop("n1_uri", "n2_uri")
-        triples, _errors = construct_edges(gated, subclass_map, approach)
-        return triples.select(
-            "s", "p", "o",
-            F.lit(False).alias("o_is_literal"),
-            F.lit(None).cast("string").alias("o_lang"),
-            F.lit(None).cast("string").alias("o_datatype"),
-        ).distinct()
-
-    constructed = store.run("constructed_edges", build_edges)
+    constructed = store.run(
+        "constructed_edges",
+        lambda: _construct_gated_edges(
+            merged, edges, subclass_map, inverse_relations, approach
+        ),
+    )
 
     def assemble() -> DataFrame:
         graph = logic.select(*TRIPLE_COLS).unionByName(
@@ -176,7 +263,15 @@ def full_build(
             F.lit(None).cast("string").alias("o_lang"),
             F.lit(None).cast("string").alias("o_datatype"),
         )
-        combined = graph.unionByName(meta_t).distinct()
+        # the final full KG merges the annotation assertions back with the
+        # logic subset (knowledge_graph.py:636: merges_files(annot, logic,
+        # full)) — axiom payloads/dbXrefs are not re-derivable from
+        # extract_metadata, so dropping them here would silently lose them
+        combined = (
+            graph.unionByName(meta_t)
+            .unionByName(annotations.select(*TRIPLE_COLS))
+            .distinct()
+        )
         # G7: strip old ontology header(s), add the 7 provenance triples
         return adds_ontology_annotations(combined, filename, kg_version, date_full)
 

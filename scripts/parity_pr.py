@@ -74,6 +74,96 @@ def expected_subclass_core(n1: str, n2: str, rel: str, inv: str | None) -> list:
     return out
 
 
+def augmented_two_sided_case(spark) -> dict:
+    """Non-vacuous two-sided-map parity: the reference fixture emits ZERO
+    chemical-disease edges (tests/data/Master_Edge_List_Dict.json), so the
+    stock P/R row only proves both pipelines discard everything. This case
+    derives an AUGMENTED fixture from the same CTD excerpt — evidence
+    forced non-empty on alternating rows, small MESH→CHEBI / MESH→DOID
+    maps keyed to the rows' actual ids (one '|'-packed multi-target cell to
+    exercise the F8 explode wiring) — and scores the engine against an
+    independent pure-Python re-derivation of the reference semantics
+    (edge_list.py:99-385: evidence filter → 2-col reduce+dedup → column-
+    level label format → explode packed map cells → two-sided inner joins).
+    """
+    import tempfile
+
+    from pheknowlator_spark.operators.edge_list import (
+        build_edge_list,
+        parse_resource_info,
+    )
+
+    with open(f"{REF_DATA}/resource_info.txt") as f:
+        cfg = parse_resource_info(f.read())["chemical-disease"]
+
+    src = f"{REF_DATA}/edge_data/chemical-disease_CTD_chemicals_diseases.tsv"
+    with open(src) as f:
+        lines = f.read().splitlines()
+    preamble = [ln for ln in lines if not ln.strip() or ln.startswith("#")]
+    data = [ln.split("\t") for ln in lines if ln.strip() and not ln.startswith("#")]
+
+    # force evidence (col 5) non-empty on alternating rows — the others
+    # must be dropped by the '5;!=;''' criterion
+    aug_rows = []
+    for i, row in enumerate(data[:24]):
+        row = list(row) + [""] * (10 - len(row))
+        row[5] = "therapeutic" if i % 2 == 0 else ""
+        aug_rows.append(row)
+
+    # maps keyed to the augmented rows' REAL ids: chemicals get CHEBI
+    # targets for 2 of every 3 mapped rows (unmapped must drop); diseases
+    # (post-label-format, 'MESH:D000230' → 'D000230') all map, one cell
+    # '|'-packed to two DOIDs (explodes_data fan-out)
+    chems = sorted({r[1] for r in aug_rows})
+    dises = sorted({r[4].split(":")[-1] for r in aug_rows})
+    chebi_map = [
+        (f"MESH_{c}", f"CHEBI_9{i:04d}") for i, c in enumerate(chems) if i % 3 != 0
+    ]
+    doid_map = [
+        (d, f"DOID_8{j:04d}" if j % 2 != 0 else f"DOID_8{j:04d}|DOID_7{j:04d}")
+        for j, d in enumerate(dises)
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="pkt_aug_")
+    tsv = os.path.join(tmp, "chemical-disease_aug.tsv")
+    with open(tsv, "w") as f:
+        f.write("\n".join(preamble + ["\t".join(r) for r in aug_rows]) + "\n")
+    map_frames = {
+        "MESH_CHEBI_MAP_AUG.txt": spark.createDataFrame(
+            chebi_map, "src_id string, tgt_id string"
+        ),
+        "DISEASE_DOID_MAP_AUG.txt": spark.createDataFrame(
+            doid_map, "src_id string, tgt_id string"
+        ),
+    }
+    cfg.identifier_maps = "0:MESH_CHEBI_MAP_AUG.txt;1:DISEASE_DOID_MAP_AUG.txt"
+    got_df = build_edge_list(spark, cfg, tsv, map_frames, map_delimiter="|")
+    got = {(r.sub_id, r.obj_id) for r in got_df.collect()}
+
+    # independent reference-semantics derivation (pure Python)
+    kept = {(r[1], r[4]) for r in aug_rows if r[5] != ""}  # filter + reduce
+    chebi = {}
+    for s, t in chebi_map:
+        chebi.setdefault(s, []).append(t)
+    doid = {}
+    for s, t in doid_map:
+        doid.setdefault(s, []).extend(x for x in t.split("|") if x)
+    expected = {
+        (cm, dm)
+        for c, d in kept
+        for cm in chebi.get(f"MESH_{c}", [])          # label: prepend MESH_
+        for dm in doid.get(d.split(":")[-1], [])       # label: strip 'MESH:'
+    }
+    stats = pr(got, expected)
+    stats["augmented"] = True
+    # edges reachable ONLY through a packed cell's second target — proves
+    # the F8 explode wiring fired on the production join path
+    stats["packed_cell_edges"] = sum(
+        1 for _, o in got if o.startswith("DOID_7")
+    )
+    return stats
+
+
 def compute_report(spark) -> dict:
     from pheknowlator_spark.operators.constructors import construct_edges
     from pheknowlator_spark.operators.edge_list import (
@@ -117,6 +207,17 @@ def compute_report(spark) -> dict:
         stats = pr(got, expected)
         report["edge_level"][etype] = stats
         all_ok &= stats["precision"] >= 0.95 and stats["recall"] >= 0.95
+
+    # the stock chemical-disease row is vacuous (reference emits 0 edges);
+    # score the two-sided MESH→CHEBI + MESH→DOID join path on an augmented
+    # fixture that actually emits edges
+    aug = augmented_two_sided_case(spark)
+    report["edge_level"]["chemical-disease-augmented"] = aug
+    all_ok &= (
+        aug["got"] > 0
+        and aug["precision"] >= 0.95
+        and aug["recall"] >= 0.95
+    )
 
     # triple layer: expand the REFERENCE's expected gene-disease edges via
     # the engine (subclass approach, entity side mapped like the reference

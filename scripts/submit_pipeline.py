@@ -43,10 +43,24 @@ def main() -> None:
         re_extract=True,
         quality_threshold=0.4,
     )
-    triples = store.run(
-        "triples", lambda: out["triples"], partition_by=["edge_type"]
-    )
+    # commit the co-mention aggregate FIRST (the only stage that needs the
+    # corpus scan), then derive triples from the COMMITTED parquet — the
+    # linear unshared pipeline plan would otherwise re-run the whole scan +
+    # mention detection a second time for the triples stage
     comentions = store.run("comention_edges", lambda: out["comention_edges"])
+
+    def triples_from_committed():
+        from pheknowlator_spark.operators.constructors import construct_edges
+        from pheknowlator_spark.webtext.pipeline import edges_for_construction
+
+        t, _errors = construct_edges(
+            edges_for_construction(comentions), approach="subclass"
+        )
+        return t.distinct()
+
+    triples = store.run(
+        "triples", triples_from_committed, partition_by=["edge_type"]
+    )
     manifest = store.write_manifest()
     print(
         json.dumps(

@@ -216,3 +216,62 @@ def test_build_edge_list_end_to_end(spark, gene_disease_tsv):
     }
     stats = edge_list_stats(out).collect()[0]
     assert (stats.n_edges, stats.n_subjects, stats.n_objects) == (3, 3, 2)
+
+
+def test_explodes_data_reference_cases(spark):
+    # hgnc fixture from the reference's test_data_utils_miscellaneous.py:55
+    from pheknowlator_spark.operators.edge_list import explodes_data
+
+    rows = [
+        ("HGNC:5", "A1BG", "None"),
+        ("HGNC:37133", "A1BG-AS1", "FLJ23569"),
+        ("HGNC:24086", "A1CF", "ACF|ASP|ACF64|ACF65|APOBEC1CF"),
+        ("HGNC:7", "A2M", "FWP007|S863-7|CPAMD5"),
+        ("HGNC:27057", "A2M-AS1", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "hgnc_id string, hgnc_symbols string, hgnc_synonyms string"
+    )
+    out = explodes_data(df, ["hgnc_synonyms"], "|")
+    got = {(r.hgnc_id, r.hgnc_symbols, r.hgnc_synonyms) for r in out.collect()}
+    # more rows than input, no packed cells remain, empty cell -> fill_value
+    assert out.count() == 11 > len(rows)
+    assert not any("|" in s for _, _, s in got)
+    assert ("HGNC:24086", "A1CF", "ACF64") in got
+    assert ("HGNC:27057", "A2M-AS1", "None") in got  # empty list row kept
+    assert ("HGNC:5", "A1BG", "None") in got
+
+
+def test_explodes_data_multi_column_recursion(spark):
+    # two packed columns expanding to DIFFERENT lengths (the case the
+    # reference's stack-recursion exists for): cross product per input row
+    from pheknowlator_spark.operators.edge_list import explodes_data
+
+    df = spark.createDataFrame(
+        [("e1", "a|b", "x|y|z"), ("e2", "c", "")],
+        "id string, lhs string, rhs string",
+    )
+    out = explodes_data(df, ["lhs", "rhs"], "|")
+    got = {(r.id, r.lhs, r.rhs) for r in out.collect()}
+    assert got == {
+        ("e1", "a", "x"), ("e1", "a", "y"), ("e1", "a", "z"),
+        ("e1", "b", "x"), ("e1", "b", "y"), ("e1", "b", "z"),
+        ("e2", "c", "None"),
+    }
+
+
+def test_identifier_maps_packed_cells(spark):
+    # F8 wiring: a mapping table whose tgt cells are '|'-packed must
+    # fan out to ALL targets; without the explode the join under-emits
+    edges = spark.createDataFrame(
+        [("MESH_C1", "D1"), ("MESH_C2", "D2")], "sub_id string, obj_id string"
+    )
+    packed_map = spark.createDataFrame(
+        [("MESH_C1", "CHEBI_1|CHEBI_2"), ("MESH_C2", "CHEBI_3")],
+        "src_id string, tgt_id string",
+    )
+    out = apply_identifier_maps(
+        edges, "0:m", {"m": packed_map}, map_delimiter="|"
+    )
+    got = {(r.sub_id, r.obj_id) for r in out.collect()}
+    assert got == {("CHEBI_1", "D1"), ("CHEBI_2", "D1"), ("CHEBI_3", "D2")}

@@ -157,3 +157,75 @@ def test_post_closure_build(spark, tmp_path, ontology):
     assert out["constructed_edges"].count() == 0
     assert out["full_graph"].count() > 0
     assert out["owlnets"].count() > 0
+
+
+def test_partial_build_contract(spark, tmp_path, ontology):
+    """PartialBuild output contract (reference
+    tests/test_knowledge_graph_partial.py:124-137): logic-with-edges,
+    annotations-only, and merged partial graph stages exist; annotation
+    merge/metadata/header/decode are DEFERRED for the external reasoner."""
+    from pyspark.sql import functions as F2
+
+    from pheknowlator_spark.plans.full_build import partial_build
+
+    classes = [
+        r.node for r in
+        ontology.filter((F.col("p") == RDF_T) & (F.col("o") == OWL + "Class"))
+        .select(F.col("s").alias("node")).distinct()
+        .filter(F.col("node").startswith(OBO + "SO_"))
+        .orderBy("node").limit(2).collect()
+    ]
+    c1, c2 = (c.replace(OBO, "") for c in classes)
+    edges = spark.createDataFrame(
+        [("so-so", "class", "class", c1, c2, OBO, OBO, "RO_0004004", None)],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    store = StageStore(spark, str(tmp_path / "partial"))
+    out = partial_build(spark, store, [ontology], edges, approach="subclass")
+
+    # the three reference output files map to these committed stages
+    assert set(store.manifest()["stages"]) >= {
+        "logic_with_edges", "annotation_subset", "partial_graph",
+    }
+    # deferred: NO decode stage, NO provenance header beyond what the input
+    # ontology already carried (full_build strips+re-adds; partial must not)
+    assert "owlnets" not in store.manifest()["stages"]
+    pre_existing = out["merged_ontology"].filter(
+        F2.col("s").startswith("https://pheknowlator.com/")
+    ).count()
+    assert out["partial_graph"].filter(
+        F2.col("s").startswith("https://pheknowlator.com/")
+    ).count() == pre_existing
+
+    # logic_with_edges = logic subset + constructed edges, annotations apart
+    lw = out["logic_with_edges"]
+    assert lw.count() == lw.select("s", "p", "o").distinct().count()
+    assert (
+        out["logic_subset"].count() + out["annotation_subset"].count()
+        == out["merged_ontology"].count()
+    )
+    cons = out["constructed_edges"]
+    assert cons.count() > 0
+    assert lw.join(cons, ["s", "p", "o"], "left_semi").count() == cons.count()
+
+    # merged partial graph = annotations ∪ logic_with_edges with pkt bnode
+    # namespacing stripped (knowledge_graph.py:436-438)
+    pg = out["partial_graph"]
+    assert pg.filter(
+        F2.col("s").startswith(
+            "https://github.com/callahantiff/PheKnowLator/pkt/bnode/"
+        )
+    ).count() == 0
+    merged_ct = (
+        out["annotation_subset"].select("s", "p", "o")
+        .unionByName(lw.select("s", "p", "o"))
+        .withColumn("s", F2.regexp_replace(
+            "s", "https://github.com/callahantiff/PheKnowLator/pkt/bnode/",
+            "bnode:"))
+        .withColumn("o", F2.regexp_replace(
+            "o", "https://github.com/callahantiff/PheKnowLator/pkt/bnode/",
+            "bnode:"))
+        .distinct().count()
+    )
+    assert pg.count() == merged_ct

@@ -286,7 +286,9 @@ def test_reliable_checkpoints_toggle(spark, tmp_path):
     # checkpoint writes (the multi-executor-cluster mode) as with
     # localCheckpoint (local-mode default)
     from pheknowlator_spark.operators.graph_algos import (
+        _RELIABLE_CONF,
         connected_components,
+        reliable_checkpoints,
         set_reliable_checkpoints,
     )
 
@@ -303,3 +305,9 @@ def test_reliable_checkpoints_toggle(spark, tmp_path):
         set_reliable_checkpoints(spark, None)
     assert base == reliable
     assert base == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    # context manager guarantees reset (session-scoped conf, not a global)
+    with reliable_checkpoints(spark, str(tmp_path / "ckpt2")):
+        assert spark.conf.get(_RELIABLE_CONF) == "true"
+        ctx = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert spark.conf.get(_RELIABLE_CONF) == "false"
+    assert ctx == base

@@ -27,3 +27,9 @@ def test_parity_pr_report(spark):
     tl = report["triple_level"]["gene-disease"]
     assert tl["precision"] == 1.0 and tl["recall"] == 1.0, tl
     assert tl["construction_errors"] == 0
+    # two-sided-map parity must be NON-vacuous: the augmented fixture emits
+    # real edges through the MESH→CHEBI + MESH→DOID join path, including
+    # ones only reachable via a packed multi-target mapping cell (F8)
+    aug = report["edge_level"]["chemical-disease-augmented"]
+    assert aug["got"] > 0 and aug["expected"] > 0, aug
+    assert aug["packed_cell_edges"] > 0, aug
