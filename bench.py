@@ -164,15 +164,25 @@ def _scaled_pair(
 ) -> tuple[float, float, list, list]:
     """Measure ``job`` at N and 4N cores with symmetric retry-on-variance.
 
-    A system-CPU storm during one side's window skews the ratio in EITHER
-    direction (sub-linear if the 4N window was hit, super-linear if the N
-    window was); when the efficiency is implausible AND a side's reps show
-    storm-level spread, re-measure that side (all reps recorded). Applied
+    The two sides run as INTERLEAVED session windows (N, 4N, N, 4N — fresh
+    session each) and each side's floor is taken across both its windows: a
+    system-CPU storm lives in wall-clock time, so a single long window per
+    side lets one storm bias exactly one side of the ratio (round 2's
+    contradictory recordings — super-linear 1.057 pipeline, 0.692 scan —
+    were both single-window artifacts). After interleaving, when the
+    efficiency is STILL implausible and a side's reps show storm-level
+    spread, that side is re-measured (all reps recorded). Applied
     identically to every measured stage — the scan ratio gets the same
     rigor as the pipeline ratio.
     """
     t_quarter, reps_q = _timed(quarter, reps, job)
     t_full, reps_f = _timed(full, reps, job)
+    t2q, r2q = _timed(quarter, reps, job)
+    t_quarter = min(t_quarter, t2q)
+    reps_q += r2q
+    t2f, r2f = _timed(full, reps, job)
+    t_full = min(t_full, t2f)
+    reps_f += r2f
     for _ in range(2):
         eff_now = (t_quarter / t_full) / (full / quarter)
         if 0.8 <= eff_now <= 1.1:
@@ -213,11 +223,14 @@ def main() -> None:
     # 4x storm noise, which made regressions undiagnosable across rounds
     q_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     for name in HEADLINE:
-        df = queries[name](spark, SF_DIR)
         best = float("inf")
         for _ in range(q_reps):
+            # plan construction INSIDE the rep: iterative queries
+            # (connected components, closures) do eager checkpointed work
+            # while building the plan — timing only a pre-built DataFrame
+            # would measure a re-read of the final iteration, not the query
             t0 = time.time()
-            force(df)
+            force(queries[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         results[name] = round(best, 3)
 

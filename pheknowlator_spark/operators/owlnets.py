@@ -42,7 +42,10 @@ from pheknowlator_spark.functions.rdf import (
     RDF_TYPE,
     RDFS_SUBCLASSOF,
 )
-from pheknowlator_spark.operators.graph_algos import transitive_closure
+from pheknowlator_spark.operators.graph_algos import (
+    _cut_lineage,
+    transitive_closure,
+)
 from pheknowlator_spark.operators.owl_filters import (
     clean_decoded_graph,
     filter_owl_semantics,
@@ -166,13 +169,15 @@ def assign_forests(triples: DataFrame, roots: DataFrame, max_depth: int = 12) ->
         expanded = frontier.join(t, frontier.node == t.s, "inner").select(
             "root", "s", "p", "o", "o_is_literal"
         )
-        acc = acc.unionByName(expanded).distinct().localCheckpoint(eager=True)
-        new_frontier = (
+        # lineage cut per level (reliable-checkpoint aware, like the other
+        # iterative algorithms — executor loss mid-walk on a real cluster
+        # must not recompute the whole frontier chain)
+        acc = _cut_lineage(acc.unionByName(expanded).distinct())
+        new_frontier = _cut_lineage(
             expanded.filter(_bnode_col(F.col("o")))
             .select("root", F.col("o").alias("node"))
             .distinct()
             .join(visited, ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(new_frontier).distinct()
         frontier = new_frontier
