@@ -444,6 +444,16 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sessionized(spark, sf_dir):
+    """Session windows (30-min gap) per user over the events table — the
+    same aggregation runs under readStream with a watermark; the batch
+    result is pinned by a gaps-and-islands SQL oracle."""
+    from pheknowlator_spark.streaming.events import sessionized_event_counts
+
+    events = _read(spark, sf_dir, "events")
+    return sessionized_event_counts(events, gap="30 minutes")
+
+
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash banding → candidate pairs → EXACT-Jaccard re-rank. Because
     verification is exact, the output equals the exact n-gram-Jaccard pair
@@ -1016,15 +1026,24 @@ def q_pipeline_instance(spark, sf_dir):
 
 
 def q_pipeline_triples_synthetic(spark, sf_dir):
-    """run_pipeline over generated html pages (re-extract path) — the bench
-    configuration; page text is md5-derived so there is no SQL oracle
-    (rows-only gate)."""
+    """run_pipeline over 200 generated html pages — the bench
+    configuration, now with a FULL DuckDB oracle: page generation is
+    md5-per-index (``sources/pages.py``), and DuckDB's
+    ``CAST('0x'||substring(md5(s),1,16) AS UBIGINT)`` reproduces the
+    generator's ``int.from_bytes(md5(...).digest()[:8], 'big')`` exactly,
+    so the oracle re-derives which surface slots each page emits (filler
+    words can never form a dictionary surface, and no surface nests inside
+    another at word granularity — so slot membership IS the mention set),
+    applies the linker's deterministic ambiguity rule (equal-length
+    candidates → lexicographic-min CURIE), the 6-entry namespace-pair edge
+    typing with swap orientation, the ≥2-page gate, and the md5-level
+    subclass construction with inverses."""
     from pheknowlator_spark.sources.pages import entity_dictionary, generate_pages
     from pheknowlator_spark.webtext.pipeline import run_pipeline
 
     pages = generate_pages(spark, 200)
     out = run_pipeline(pages, entity_dictionary(spark), min_pages=2)
-    return out["triples"].select("s", "p", "o")
+    return out["triples"].select("s", "p", "o").distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1052,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
         "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
         "edge_type_stats": q_edge_type_stats,
         "edge_list_stats": q_edge_list_stats,
         "synonym_dictionary": q_synonym_dictionary,
@@ -1213,6 +1233,144 @@ e AS (
   FROM gated),
 {core}
 SELECT DISTINCT s, p, o FROM ({fwd}{bwd})
+"""
+
+
+# surface → linked CURIE for the synthetic-page dictionary
+# (sources/pages.py entity_dictionary_rows; 'cold' is ambiguous and the
+# linker's equal-length tie-break keeps the lexicographic-min CURIE)
+_SYN_SURF_CURIE = [
+    ("cancer", "DOID_162"), ("tp53", "PR_P04637"), ("diabetes", "DOID_9351"),
+    ("aspirin", "CHEBI_15365"), ("acetylsalicylic acid", "CHEBI_15365"),
+    ("hepatomegaly", "HP_0002240"), ("liver disease", "DOID_409"),
+    ("schizophrenia", "DOID_5419"), ("insulin", "PR_P01308"),
+    ("glucose", "CHEBI_17234"), ("kinase inhibitor", "CHEBI_76980"),
+    ("heart attack", "DOID_5844"), ("myocardial infarction", "DOID_5844"),
+    ("brca1", "PR_P38398"), ("adenocarcinoma", "DOID_299"),
+    ("cold", "CHEBI_fake_cold"),
+]
+_SYN_HOT = ["cancer", "tp53", "diabetes"]
+# entity_dictionary_rows() surface order: 3 hot + 12 cold + 2 ambiguous
+_SYN_ALL17 = _SYN_HOT + [
+    "aspirin", "acetylsalicylic acid", "hepatomegaly", "liver disease",
+    "schizophrenia", "insulin", "glucose", "kinase inhibitor",
+    "heart attack", "myocardial infarction", "brca1", "adenocarcinoma",
+    "cold", "cold",
+]
+# webtext.pipeline.DEFAULT_EDGE_TYPES
+_SYN_ETYPES = [
+    ("CHEBI", "DOID", "chemical-disease", "RO_0002606", None),
+    ("CHEBI", "PR", "chemical-protein", "RO_0002434", "RO_0002434"),
+    ("PR", "DOID", "protein-disease", "RO_0003302", None),
+    ("PR", "HP", "protein-phenotype", "RO_0003302", None),
+    ("CHEBI", "HP", "chemical-phenotype", "RO_0002606", None),
+    ("DOID", "HP", "disease-phenotype", "RO_0002200", "RO_0004029"),
+]
+
+
+def _synthetic_pipeline_sql(n_pages: int = 200) -> str:
+    """Closed-form oracle for q_pipeline_triples_synthetic: DuckDB
+    ``CAST('0x'||substring(md5(s),1,16) AS UBIGINT)`` equals the page
+    generator's ``_h`` (md5 digest[:8] big-endian), so the per-page word
+    slots, language gate, mention sets, linking, pair typing, page gate and
+    md5-level construction are all re-derived in SQL."""
+    h = "CAST(('0x'||substring(md5({s}),1,16)) AS UBIGINT)"
+    hot_list = "list_value(" + ",".join(f"'{s}'" for s in _SYN_HOT) + ")"
+    all17 = "list_value(" + ",".join(f"'{s}'" for s in _SYN_ALL17) + ")"
+    map_values = ", ".join(f"('{s}', '{c}')" for s, c in _SYN_SURF_CURIE)
+
+    etype_cases, sub_cases, obj_cases, rel_cases, inv_cases = [], [], [], [], []
+    for x, y, et, rel, inv in _SYN_ETYPES:
+        fwd = f"(ns1 = '{x}' AND ns2 = '{y}')"
+        bwd = f"(ns1 = '{y}' AND ns2 = '{x}')"
+        cond = f"({fwd} OR {bwd})"
+        etype_cases.append(f"WHEN {cond} THEN '{et}'")
+        sub_cases.append(f"WHEN {fwd} THEN c1 WHEN {bwd} THEN c2")
+        obj_cases.append(f"WHEN {fwd} THEN c2 WHEN {bwd} THEN c1")
+        rel_cases.append(f"WHEN {cond} THEN '{rel}'")
+        inv_cases.append(
+            f"WHEN {cond} THEN "
+            + (f"'{inv}'" if inv else "CAST(NULL AS VARCHAR)")
+        )
+
+    def cases(lst):
+        return "CASE " + " ".join(lst) + " END"
+
+    core = (
+        "h AS (SELECT n1, n2, rel, inv,"
+        f" '{PKT}N' || md5('<'||n1||'><'||rel||'><'||n2||'>') AS u1,"
+        f" '{PKT}bnode/N' || md5('<'||n1||'><'||rel||'><'||n2||'>'||'<{_OWL}Restriction>') AS u2,"
+        f" '{PKT}N' || md5('<'||n2||'><'||inv||'><'||n1||'>') AS u3,"
+        f" '{PKT}bnode/N' || md5('<'||n2||'><'||inv||'><'||n1||'>'||'<{_OWL}Restriction>') AS u4"
+        " FROM e)"
+    )
+    fwd_rows = f"""
+  SELECT n1 AS s, '{_RDF_TYPE}' AS p, '{_OWL}Class' AS o FROM h
+  UNION ALL SELECT u1, '{_SUBCLASSOF}', n1 FROM h
+  UNION ALL SELECT u1, '{_RDF_TYPE}', '{_OWL}Class' FROM h
+  UNION ALL SELECT u1, '{_SUBCLASSOF}', u2 FROM h
+  UNION ALL SELECT u2, '{_RDF_TYPE}', '{_OWL}Restriction' FROM h
+  UNION ALL SELECT u2, '{_OWL}someValuesFrom', n2 FROM h
+  UNION ALL SELECT n2, '{_RDF_TYPE}', '{_OWL}Class' FROM h
+  UNION ALL SELECT u2, '{_OWL}onProperty', rel FROM h
+  UNION ALL SELECT rel, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h"""
+    bwd_rows = f"""
+  UNION ALL SELECT n2, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_SUBCLASSOF}', n2 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u3, '{_SUBCLASSOF}', u4 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_RDF_TYPE}', '{_OWL}Restriction' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_OWL}someValuesFrom', n1 FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT n1, '{_RDF_TYPE}', '{_OWL}Class' FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT u4, '{_OWL}onProperty', inv FROM h WHERE inv IS NOT NULL
+  UNION ALL SELECT inv, '{_RDF_TYPE}', '{_OWL}ObjectProperty' FROM h WHERE inv IS NOT NULL"""
+    return f"""
+WITH pages AS (
+  SELECT i FROM range(0, {n_pages}) t(i)
+  WHERE {h.format(s="'l2:'||i")} % 50 <> 0),
+nw AS (
+  SELECT i, CAST(40 + {h.format(s="'len:'||i")} % 80 AS BIGINT) AS n
+  FROM pages),
+slots AS (SELECT i, unnest(range(0, n)) AS w FROM nw),
+rs AS (SELECT i, {h.format(s="'word:'||(i*131+w)")} AS r FROM slots),
+surf AS (
+  SELECT DISTINCT i, CASE
+      WHEN r % 100 < 2 THEN {hot_list}[CAST(r % 3 AS INT) + 1]
+      WHEN r % 100 < 4 THEN {all17}[CAST(r % 17 AS INT) + 1]
+    END AS surface
+  FROM rs WHERE r % 100 < 4
+  UNION
+  SELECT i, 'cancer' FROM pages WHERE i % 12 = 0),
+pe AS (
+  SELECT DISTINCT s.i AS doc, m.curie
+  FROM surf s JOIN (VALUES {map_values}) m(surface, curie)
+    ON s.surface = m.surface),
+pairs AS (
+  SELECT x.doc, x.curie AS c1, y.curie AS c2
+  FROM pe x JOIN pe y ON x.doc = y.doc AND x.curie < y.curie),
+nsd AS (
+  SELECT doc, c1, c2,
+         string_split(c1, '_')[1] AS ns1, string_split(c2, '_')[1] AS ns2
+  FROM pairs),
+typed AS (
+  SELECT doc,
+         {cases(etype_cases)} AS edge_type,
+         {cases(sub_cases)} AS sub_id,
+         {cases(obj_cases)} AS obj_id,
+         {cases(rel_cases)} AS rel,
+         {cases(inv_cases)} AS inv_rel
+  FROM nsd),
+gated AS (
+  SELECT edge_type, sub_id, obj_id, rel, inv_rel
+  FROM typed WHERE edge_type IS NOT NULL
+  GROUP BY ALL HAVING count(DISTINCT doc) >= 2),
+e AS (
+  SELECT DISTINCT '{OBO}' || sub_id AS n1, '{OBO}' || obj_id AS n2,
+         '{OBO}' || rel AS rel,
+         CASE WHEN inv_rel IS NULL THEN NULL ELSE '{OBO}' || inv_rel END AS inv
+  FROM gated),
+{core}
+SELECT DISTINCT s, p, o FROM ({fwd_rows}{bwd_rows})
 """
 
 
@@ -1425,6 +1583,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
         """,
+        # gaps-and-islands: a session breaks when the per-user gap between
+        # consecutive events exceeds 30 minutes
+        "events_sessionized": """
+            WITH o AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, grp
+        """,
         "edge_type_stats": """
             WITH t AS (
               SELECT l_linestatus AS edge_type, 'O' || l_orderkey AS s,
@@ -1534,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_triples": _pipeline_triples_sql(),
         "pipeline_instance": _pipeline_triples_sql(approach="instance"),
+        "pipeline_triples_synthetic": _synthetic_pipeline_sql(),
         # canonicalization closed form: the same-as CC maps each cluster to
         # its lexicographic-min member
         "pipeline_canonicalized": _pipeline_triples_sql(

@@ -319,24 +319,35 @@ def annotation_assertions(triples: DataFrame) -> DataFrame:
     is_all_annot = is_declared | F.col("p").isin(_CORE_ANNOT)
     wide = is_all_annot | (F.col("o") == OWL_AXIOM)
 
-    s_side = flagged.join(ents.withColumnRenamed("ent", "s"), "s", "inner")
-    o_side = flagged.join(ents.withColumnRenamed("ent", "o"), "o", "inner")
-
-    contrib_s = s_side.filter(
-        ((F.col("case") == "A") & is_declared)
-        | ((F.col("case") != "A") & wide)
-    )
-    contrib_o = o_side.filter(
-        ((F.col("case") == "A") & is_declared)
-        | ((F.col("case") == "C") & wide)
-        | (
-            (F.col("case") == "B")
-            & wide
-            & ~F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET])
+    # ONE pass: both entity sides attach as left joins and a triple
+    # contributes if EITHER side's case-rule fires — the former
+    # s-side/o-side inner joins + union + distinct duplicated the whole
+    # upstream subtree (scans, splits) once per side; the fused plan walks
+    # it once (set-equal because each input triple is emitted at most once)
+    s_case = F.col("__s_case")
+    o_case = F.col("__o_case")
+    both = (
+        flagged.join(
+            ents.select(F.col("ent").alias("s"), F.col("case").alias("__s_case")),
+            "s", "left",
+        )
+        .join(
+            ents.select(F.col("ent").alias("o"), F.col("case").alias("__o_case")),
+            "o", "left",
         )
     )
+    contrib_s = ((s_case == "A") & is_declared) | (
+        s_case.isNotNull() & (s_case != "A") & wide
+    )
+    contrib_o = ((o_case == "A") & is_declared) | (
+        (o_case == "C") & wide
+    ) | (
+        (o_case == "B")
+        & wide
+        & ~F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET])
+    )
     cols = [c for c in triples.columns]
-    return contrib_s.select(*cols).unionByName(contrib_o.select(*cols)).distinct()
+    return both.filter(contrib_s | contrib_o).select(*cols).distinct()
 
 
 def split_logic_annotation(triples: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -9,8 +9,11 @@
   ``tables`` hash tables; exact cosine re-rank on candidates only. The 100
   TB scale path: shuffle keys are (table, bucket), never all-pairs.
 * ``ivf_topk``          — IVF-style coarse quantization: corpus assigned to
-  nearest of k sampled centroids (one broadcast join), queries probe
-  ``nprobe`` nearest centroids.
+  nearest of k centroids (one broadcast join), queries probe ``nprobe``
+  nearest centroids.
+* ``kmeans_centroids``  — distributed spherical Lloyd k-means trainer for
+  the IVF cells (broadcast assign + per-dimension mean per iteration;
+  driver holds only the k×dim centroid table, like Spark MLlib k-means).
 """
 
 from __future__ import annotations
@@ -169,6 +172,76 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical Lloyd k-means for IVF coarse quantization.
+
+    Deterministic init (first ``n_centroids`` vectors by id), then per
+    iteration: (1) assign every corpus vector to its max-cosine centroid —
+    a broadcast join + ``min_by`` aggregation, no window sort; (2) new
+    centroid = per-dimension mean of its members (``posexplode`` +
+    hash-agg — one shuffle of n×dim scalar rows); (3) the k×dim result is
+    collected to the driver and re-broadcast (centroids are dimension-
+    sized; this is the same driver-side loop structure Spark MLlib's
+    k-means uses). Cosine assignment is scale-invariant, so means are not
+    re-normalized. Empty clusters keep their previous centroid.
+
+    Returns ``[centroid_id, __cent]`` ready for :func:`ivf_topk`'s
+    ``centroids=`` parameter.
+    """
+    cents = [
+        (str(r[0]), [float(x) for x in r[1]])
+        for r in corpus.orderBy(id_col).limit(n_centroids)
+        .select(id_col, vec_col).collect()
+    ]
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    for _ in range(max(0, iters)):
+        cent_df = spark.createDataFrame(
+            cents, "centroid_id string, __cent array<double>"
+        )
+        sim = cosine(F.col("__cv"), F.col("__cent"))
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("centroid_id"), F.col("__cv")),
+                    F.struct((-sim).alias("d"), F.col("centroid_id")),
+                ).alias("__w")
+            )
+            .select(F.col("__w.centroid_id"), F.col("__w.__cv"))
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("__cv").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[str, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = r.m
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,  # empty cluster: keep previous centroid
+            )
+            for cid, vec in cents
+        ]
+    return spark.createDataFrame(
+        cents, "centroid_id string, __cent array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,12 +251,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization: centroids = deterministic corpus sample
-    (first n by id — cheap stand-in for k-means; swap in k-means|| offline
-    at production scale), corpus partitioned by nearest centroid, queries
-    probe ``nprobe`` cells."""
-    cents = (
+    """IVF coarse quantization: corpus partitioned by nearest centroid,
+    queries probe ``nprobe`` cells. ``centroids`` defaults to a
+    deterministic corpus sample (first n by id); pass
+    :func:`kmeans_centroids` output for trained cells (tighter cells →
+    higher recall at the same nprobe)."""
+    cents = centroids if centroids is not None else (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(

@@ -35,6 +35,37 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window counts per key (dynamic-gap analog of the reference's
+    per-entity grouping, streaming-ready): consecutive events of one key
+    closer than ``gap`` merge into one session. Batch and stream run the
+    same ``session_window`` aggregation; the batch result equals the SQL
+    gaps-and-islands derivation (see the ``events_sessionized`` oracle).
+
+    At scale this is ONE shuffle on the key (Spark merges overlapping
+    windows inside the aggregation); streaming state is bounded by the
+    watermark horizon per active key."""
+    src = events
+    if events.isStreaming:
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:

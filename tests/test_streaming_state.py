@@ -137,3 +137,78 @@ def test_watermark_drops_late_events(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()}
     assert ("2024-01-01 00:00:00", "click", 1) in rows
     assert not any(c > 1 for _, _, c in rows)
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    # session windows spanning micro-batch boundaries must merge in the
+    # streaming state store and equal the batch session_window result
+    import glob
+    import shutil
+    import time
+
+    from pheknowlator_spark.streaming.events import sessionized_event_counts
+
+    rows1 = [
+        ("u1", "click", "2024-01-01 10:00:00"),
+        ("u1", "view", "2024-01-01 10:10:00"),
+        ("u2", "click", "2024-01-01 09:00:00"),
+    ]
+    rows2 = [
+        ("u1", "click", "2024-01-01 10:25:00"),  # same session as 10:10
+        ("u1", "view", "2024-01-01 12:00:00"),   # gap > 30 min: new session
+        ("u2", "view", "2024-01-01 09:50:00"),   # gap > 30 min: new session
+    ]
+    # append-mode session windows emit only once the watermark passes the
+    # session end: a far-future sentinel in a last micro-batch advances the
+    # watermark (2 h behind max event time) past every real session
+    rows3 = [("zz", "flush", "2024-01-02 00:00:00")]
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            rows, "user_id string, event_type string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    to_df(rows1).coalesce(1).write.parquet(src + "/b1")
+    to_df(rows2).coalesce(1).write.parquet(src + "/b2")
+    to_df(rows3).coalesce(1).write.parquet(src + "/b3")
+    merged = str(tmp_path / "sess_in")
+    os.makedirs(merged)
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        dst = f"{merged}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+
+    stream = (
+        spark.readStream.schema("user_id string, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        sessionized_event_counts(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = sessionized_event_counts(to_df(rows1 + rows2), gap="30 minutes")
+    expected = {
+        (r.user_id, str(r.session_start), r.n_events) for r in batch.collect()
+    }
+    # the sentinel's own session stays open in the stream (nothing advances
+    # the watermark past it) — every REAL session must match the batch
+    assert got == expected
+    # u1: one 3-event session 10:00-10:25 plus a singleton at 12:00;
+    # u2: two singletons (09:00, 09:50)
+    assert ("u1", "2024-01-01 10:00:00", 3) in expected
+    assert sum(1 for u, _, _ in expected if u == "u1") == 2
+    assert sum(1 for u, _, _ in expected if u == "u2") == 2

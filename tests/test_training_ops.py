@@ -237,3 +237,53 @@ def test_simhash_pigeonhole_exactness(spark, documents):
     )
     expected = {(r.a, r.b, r.hamming) for r in brute.collect()}
     assert got == expected
+
+def test_kmeans_ivf_recovers_separated_clusters(spark):
+    # three well-separated 8-d clusters; Lloyd iterations must tighten the
+    # deterministic sample init onto the true cluster centers, and IVF with
+    # trained centroids must equal brute-force top-k at nprobe=1
+    from pheknowlator_spark.operators.similarity import kmeans_centroids
+
+    def vec(axis, i):
+        # tight cone around one of three orthogonal axes
+        base = [0.0] * 8
+        base[axis] = 1.0
+        base[(axis + 3) % 8] = 0.05 * ((i % 5) - 2)
+        return base
+
+    # ids interleave the clusters so the first-n-by-id init spans them
+    # (Lloyd is a local optimizer — an init entirely inside one cluster
+    # cannot split the others, as with any k-means)
+    rows = [
+        (i * 3 + axis, vec(axis, i)) for axis in range(3) for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_centroids(corpus, n_centroids=3, iters=4)
+    got = {
+        tuple(round(x, 2) for x in r["__cent"]) for r in cents.collect()
+    }
+    # each trained centroid points along exactly one cluster axis
+    axes = set()
+    for c in got:
+        mx = max(range(8), key=lambda j: abs(c[j]))
+        assert abs(c[mx]) > 0.9, c
+        axes.add(mx)
+    assert axes == {0, 1, 2}
+
+    queries = corpus.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    trained = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(
+            corpus, queries, k=5, nprobe=1,
+            centroids=kmeans_centroids(corpus, n_centroids=3, iters=4),
+        ).collect()
+    }
+    assert trained == exact
