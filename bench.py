@@ -43,6 +43,7 @@ HEADLINE = [
     "mentions",
     "comention_edges",
     "token_stats",
+    "events_sessionized",
     "logic_annotation_split",
     "embedding_near_dup",
     "pipeline_triples",

@@ -283,8 +283,7 @@ def embedding_near_duplicates(
     proportionally larger bucketing fan-out.
     """
     from pheknowlator_spark.operators.similarity import (
-        _bucket_expr,
-        _hyperplanes,
+        _bucket_structs,
         cosine,
     )
 
@@ -295,16 +294,16 @@ def embedding_near_duplicates(
         raise ValueError("embedding_near_duplicates needs dim= (or column metadata)")
 
     v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    buckets = None
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, t)
-        b = v.select(
-            "__id",
-            "__v",
-            F.lit(t).alias("table"),
-            _bucket_expr(F.col("__v"), planes).alias("bucket"),
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
+    # single-scan bucketing: all tables' buckets in one projection +
+    # explode (a per-table union would rescan the corpus ``tables`` times)
+    buckets = v.select(
+        "__id",
+        "__v",
+        F.explode(_bucket_structs(F.col("__v"), tables, bits, dim)).alias("tb"),
+    ).select(
+        "__id", "__v",
+        F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),
+    )
 
     left = buckets.select(
         "table", "bucket", F.col("__id").alias("a"), F.col("__v").alias("__va")

@@ -98,6 +98,21 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _bucket_structs(vec: Column, tables: int, bits: int, dim: int) -> Column:
+    """All tables' (table, bucket) pairs as ONE projection — exploding this
+    array reads the vector table once, where a per-table union would scan
+    it ``tables`` times (k× scan amplification at corpus scale)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_expr(vec, _hyperplanes(dim, bits, t)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,32 +143,19 @@ def lsh_topk(
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
 
-    c_buckets = []
-    q_buckets = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, bits, t)
-        c_buckets.append(
-            c.select(
-                id_col,
-                "__cv",
-                F.lit(t).alias("table"),
-                _bucket_expr(F.col("__cv"), planes).alias("bucket"),
-            )
-        )
-        q_buckets.append(
-            q.select(
-                query_id_col,
-                "__qv",
-                F.lit(t).alias("table"),
-                _bucket_expr(F.col("__qv"), planes).alias("bucket"),
-            )
-        )
-    cb = c_buckets[0]
-    for x in c_buckets[1:]:
-        cb = cb.unionByName(x)
-    qb = q_buckets[0]
-    for x in q_buckets[1:]:
-        qb = qb.unionByName(x)
+    # single-scan bucketing: every table's bucket computed in one
+    # projection and exploded (a per-table union would rescan the corpus
+    # ``tables`` times)
+    cb = c.select(
+        id_col,
+        "__cv",
+        F.explode(_bucket_structs(F.col("__cv"), tables, bits, dim)).alias("tb"),
+    ).select(id_col, "__cv", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    qb = q.select(
+        query_id_col,
+        "__qv",
+        F.explode(_bucket_structs(F.col("__qv"), tables, bits, dim)).alias("tb"),
+    ).select(query_id_col, "__qv", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
     cands = (
         qb.join(cb, ["table", "bucket"])

@@ -229,3 +229,76 @@ def test_partial_build_contract(spark, tmp_path, ontology):
         .distinct().count()
     )
     assert pg.count() == merged_ct
+
+
+def test_full_build_output_file_contract(spark, tmp_path, ontology):
+    """The reference's end-to-end file contract
+    (tests/test_knowledge_graph_full.py:138-189): one build must be able to
+    emit LogicOnly.nt / AnnotationsOnly.nt / full .nt, the integer-triple
+    set + identifier map JSON, NodeLabels.txt, and the property-graph
+    export — composed from full_build stages + the sink operators."""
+    import json as _json
+
+    from pheknowlator_spark.sources.sinks import (
+        export_property_graph,
+        read_ntriples,
+        write_integer_triples,
+        write_node_labels,
+        write_ntriples,
+    )
+
+    classes = [
+        r.node for r in
+        ontology.filter((F.col("p") == RDF_T) & (F.col("o") == OWL + "Class"))
+        .select(F.col("s").alias("node")).distinct()
+        .filter(F.col("node").startswith(OBO + "SO_"))
+        .orderBy("node").limit(2).collect()
+    ]
+    c1, c2 = (c.replace(OBO, "") for c in classes)
+    edges = spark.createDataFrame(
+        [("so-so", "class", "class", c1, c2, OBO, OBO, "RO_0004004", None)],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    store = StageStore(spark, str(tmp_path / "contract"))
+    out = full_build(spark, store, [ontology], edges, approach="subclass")
+
+    kg = str(tmp_path / "kg")
+    os.makedirs(kg)
+    write_ntriples(out["annotation_subset"], kg + "/PheKnowLator_AnnotationsOnly.nt")
+    logic_with_edges = (
+        out["logic_subset"].select("s", "p", "o", "o_is_literal",
+                                   "o_lang", "o_datatype")
+        .unionByName(out["constructed_edges"])
+        .distinct()
+    )
+    write_ntriples(logic_with_edges, kg + "/PheKnowLator_LogicOnly.nt")
+    write_ntriples(out["full_graph"], kg + "/PheKnowLator_Full.nt")
+
+    uri_triples = out["full_graph"].filter(~F.col("o_is_literal"))
+    id_map = write_integer_triples(uri_triples, kg)
+    write_node_labels(out["metadata"], id_map, kg + "/NodeLabels.txt")
+    nodes, pg_edges = export_property_graph(out["full_graph"])
+
+    # existence (the reference's assertTrue(os.path.exists(...)) block)
+    for artifact in [
+        "PheKnowLator_AnnotationsOnly.nt", "PheKnowLator_LogicOnly.nt",
+        "PheKnowLator_Full.nt", "Triples_Integers", "Triples_Identifiers",
+        "Triples_Integer_Identifier_Map",
+        "Triples_Integer_Identifier_Map.json", "NodeLabels.txt",
+    ]:
+        assert os.path.exists(os.path.join(kg, artifact)), artifact
+
+    # readback sanity: full .nt round-trips, integer map is a bijection
+    back = read_ntriples(spark, kg + "/PheKnowLator_Full.nt")
+    assert back.count() == out["full_graph"].count()
+    with open(kg + "/Triples_Integer_Identifier_Map.json") as f:
+        mapping = _json.load(f)
+    assert len(mapping) == id_map.count()
+    assert len(set(mapping.values())) == len(mapping)
+    assert nodes.count() > 0 and pg_edges.count() > 0
+    # logic + annotations cover the pre-header full graph
+    hdr = out["full_graph"].filter(
+        F.col("s").startswith("https://pheknowlator.com/")
+    ).count()
+    assert hdr == 7
