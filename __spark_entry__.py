@@ -385,6 +385,15 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_token_percentiles(spark, sf_dir):
+    """Per-language token-length percentiles (dataset-curation stat);
+    Spark exact `percentile` interpolates with the same (1-d)·a + d·b
+    formula as DuckDB quantile_cont — byte-comparable."""
+    from pheknowlator_spark.functions.text import token_length_distribution
+
+    return token_length_distribution(_read(spark, sf_dir, "documents"))
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
+        "token_percentiles": q_token_percentiles,
         "ann_quantized_topk": q_ann_quantized_topk,
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
@@ -1536,6 +1546,17 @@ def oracle_sql() -> dict[str, str]:
                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
                    ELSE 'fr' END AS lang_guess
             FROM base
+        """,
+        "token_percentiles": r"""
+            WITH t AS (
+              SELECT lang, CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+              FROM documents)
+            SELECT lang, quantile_cont(tok, 0.5) AS p50,
+                   quantile_cont(tok, 0.9) AS p90,
+                   quantile_cont(tok, 0.99) AS p99,
+                   count(*) AS n_docs
+            FROM t GROUP BY lang
         """,
         "ann_quantized_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -140,3 +140,37 @@ def shingles(col: Column, k: int = 3) -> Column:
             )
         )
     )
+
+
+def token_length_distribution(
+    docs,
+    quantiles: list[float] | None = None,
+    lang_col: str = "lang",
+    text_col: str = "text",
+):
+    """Per-language token-length distribution — the dataset-curation stat
+    that drives length-filter thresholds in training-data pipelines.
+
+    Exact interpolated percentiles (Spark ``percentile``: (1-d)·a + d·b,
+    the same formula DuckDB's ``quantile_cont`` uses, so the result is
+    byte-comparable to a SQL oracle). One hash aggregation; at corpus scale
+    swap in ``percentile_approx`` for a single-pass sketch — same call
+    shape, documented error bound.
+
+    Returns ``[lang, p50, p90, p99, n_docs]`` (for the default quantiles).
+    """
+    quantiles = quantiles or [0.5, 0.9, 0.99]
+    qlist = ", ".join(f"{q}D" for q in quantiles)
+    d = docs.select(
+        F.col(lang_col).alias("lang"),
+        token_count_ws(F.col(text_col)).alias("__tok"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.expr(f"percentile(__tok, array({qlist}))").alias("__q"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    cols = [F.col("lang")] + [
+        F.col("__q")[i].alias(f"p{int(q * 100)}")
+        for i, q in enumerate(quantiles)
+    ] + [F.col("n_docs")]
+    return agg.select(*cols)
