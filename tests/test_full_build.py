@@ -302,3 +302,62 @@ def test_full_build_output_file_contract(spark, tmp_path, ontology):
         F.col("s").startswith("https://pheknowlator.com/")
     ).count()
     assert hdr == 7
+
+
+def test_partial_then_post_closure_composition(spark, tmp_path, ontology):
+    """The deferred-annotation build flavor end-to-end (builds/README.md:
+    124-134): PartialBuild emits the logic-with-edges graph for an external
+    reasoner; PostClosureBuild then consumes the (here: identity-) closed
+    graph PLUS the deferred annotations and produces the full KG with
+    metadata, header, and decode — no triple lost across the handoff."""
+    from pheknowlator_spark.plans.full_build import (
+        partial_build,
+        post_closure_build,
+    )
+
+    classes = [
+        r.node for r in
+        ontology.filter((F.col("p") == RDF_T) & (F.col("o") == OWL + "Class"))
+        .select(F.col("s").alias("node")).distinct()
+        .filter(F.col("node").startswith(OBO + "SO_"))
+        .orderBy("node").limit(2).collect()
+    ]
+    c1, c2 = (c.replace(OBO, "") for c in classes)
+    edges = spark.createDataFrame(
+        [("so-so", "class", "class", c1, c2, OBO, OBO, "RO_0004004", None)],
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    p_store = StageStore(spark, str(tmp_path / "flavor_partial"))
+    partial = partial_build(spark, p_store, [ontology], edges,
+                            approach="subclass")
+
+    # external-reasoner stand-in: the closure of the logic graph is itself
+    # (ELK on an already-closed fixture); merge the deferred annotations
+    # back exactly as the reference's post-closure inputs do
+    closed = (
+        partial["logic_with_edges"]
+        .unionByName(partial["annotation_subset"])
+        .distinct()
+    )
+    pc_store = StageStore(spark, str(tmp_path / "flavor_pc"))
+    out = post_closure_build(
+        spark, pc_store, closed, date_full="04/02/2020 21:22:56"
+    )
+    fg = out["full_graph"]
+    # the full KG carries the provenance header and decodes
+    assert fg.filter(
+        F.col("s").startswith("https://pheknowlator.com/")
+    ).count() == 7
+    assert out["owlnets"].count() > 0
+    # nothing lost across the handoff: every constructed edge triple and
+    # every annotation assertion survives into the full graph (minus the
+    # stripped old header)
+    cons = partial["constructed_edges"].select("s", "p", "o")
+    assert fg.join(cons, ["s", "p", "o"], "left_semi").count() == cons.count()
+    annot = partial["annotation_subset"].select("s", "p", "o").filter(
+        ~F.col("s").startswith("https://pheknowlator.com/")
+    )
+    assert (
+        fg.join(annot, ["s", "p", "o"], "left_semi").count() == annot.count()
+    )
