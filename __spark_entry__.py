@@ -502,13 +502,20 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("a", "b")
 
 
-# ---- no SQL oracle (token-hash bit math, not SQL-expressible);
-# ---- driver does rows-only; exactness asserted in test_training_ops ----
 def q_simhash_near_dup(spark, sf_dir):
-    from pheknowlator_spark.operators.dedup import simhash_near_duplicates
+    """SimHash near-dup with the md5-derived 64-bit shingle hash (bit
+    pattern of DuckDB's CAST('0x'||substring(md5(s),1,16) AS UBIGINT), so
+    the whole computation is SQL-reproducible). Pigeonhole banding with
+    blocks = max_hamming+1 makes the result EXACTLY the hamming-ball pair
+    set, hence the all-pairs DuckDB oracle applies. Production default
+    stays xxhash64 (faster; same banding plan)."""
+    from pheknowlator_spark.operators.dedup import (
+        md5_hash64,
+        simhash_near_duplicates,
+    )
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_near_duplicates(docs, max_hamming=6)
+    return simhash_near_duplicates(docs, max_hamming=6, hash_fn=md5_hash64)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -524,6 +531,28 @@ def q_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = lsh_topk(emb, queries, k=5, dim=dim, bits=3, tables=12)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse quantization with deterministic centroids (first 16
+    vectors by id): corpus→cell assignment is a min_by hash aggregation
+    over the broadcast-centroid cross join (no window sort), queries probe
+    4 cells. With fixed centroids the ENTIRE computation — assignment,
+    probing, in-cell top-k — is re-derived closed-form in the DuckDB
+    oracle, so the gate checks IVF semantics exactly rather than
+    coincidental recall vs brute force. (The k-means-trained variant is
+    pytest-asserted equal to brute force in test_training_ops.)"""
+    from pheknowlator_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
     return out.select("query_id", "vec_id", "rank")
 
 
@@ -1098,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -1382,6 +1412,53 @@ e AS (
 {core}
 SELECT DISTINCT s, p, o FROM ({fwd_rows}{bwd_rows})
 """
+
+
+def _simhash_oracle_sql(max_hamming: int = 6, shingle_k: int = 2) -> str:
+    """All-pairs DuckDB re-derivation of the md5-hashed SimHash pair set.
+
+    The per-shingle hash CAST('0x'||substring(md5(s),1,16) AS UBIGINT) is
+    bit-identical to the Spark side's ``md5_hash64`` (parity-tested), and
+    the Spark query's pigeonhole banding (blocks = max_hamming+1) is exact,
+    so brute-force hamming over all pairs IS the expected output. 64
+    per-bit majority votes are generated as literal UBIGINT mask terms."""
+    or_terms = []
+    for bit in range(64):
+        mask = 1 << bit
+        vote = (
+            "list_sum(list_transform(hs, h -> CASE WHEN "
+            f"(h & CAST({mask} AS UBIGINT)) != CAST(0 AS UBIGINT) "
+            "THEN 1 ELSE -1 END))"
+        )
+        or_terms.append(
+            f"CASE WHEN {vote} > 0 THEN CAST({mask} AS UBIGINT) "
+            "ELSE CAST(0 AS UBIGINT) END"
+        )
+    sim_expr = " | ".join(or_terms)
+    k = shingle_k
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+          FROM documents WHERE doc_id < 200
+        ), sh AS (
+          SELECT doc_id, CASE WHEN len(words) < {k}
+            THEN [array_to_string(words, ' ')]
+            ELSE list_distinct([array_to_string(words[i:i+{k - 1}], ' ')
+                                for i in range(1, len(words) - {k} + 2)])
+            END AS shingles
+          FROM w
+        ), hs AS (
+          SELECT doc_id, list_transform(
+            shingles, s -> CAST('0x'||substring(md5(s),1,16) AS UBIGINT)) AS hs
+          FROM sh
+        ), sim AS (
+          SELECT doc_id, {sim_expr} AS sim FROM hs
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.sim, y.sim)) AS hamming
+        FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sim, y.sim)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1787,6 +1864,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                   greatest(len(list_distinct(x.sh || y.sh)), 1) >= 0.2
         """,
+        # all-pairs hamming over md5-hashed simhashes — exact because the
+        # Spark query's pigeonhole banding has no false negatives
+        "simhash_near_dup": _simhash_oracle_sql(max_hamming=6),
         # exact all-pairs cosine over corpus + synthesized twins — the
         # LSH-bucketed near-dup output must equal this set
         "embedding_near_dup": """
@@ -1819,6 +1899,45 @@ def oracle_sql() -> dict[str, str]:
                     sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x))),
                     1e-12) AS score
               FROM q, embeddings c)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        # closed-form IVF re-derivation: fixed centroids (first 16 by id),
+        # argmax-cosine cell assignment, 4-cell probing, in-cell top-5 —
+        # exactly the Spark plan's semantics, no recall assumption
+        "ivf_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            cents AS (
+              SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            cos_all AS (
+              SELECT e.vec_id, e.v, c.cid,
+                list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2]))
+                / greatest(sqrt(list_sum(list_transform(e.v, q -> q*q))) *
+                           sqrt(list_sum(list_transform(c.cv, q -> q*q))),
+                           1e-12) AS sim
+              FROM e, cents c),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                FROM cos_all) WHERE rn = 1),
+            qcells AS (
+              SELECT vec_id AS query_id, v AS qv, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                FROM cos_all WHERE vec_id < 5) WHERE rn <= 4),
+            scored AS (
+              SELECT q.query_id, a.vec_id,
+                list_sum(list_transform(list_zip(q.qv, a.v), p -> p[1]*p[2]))
+                / greatest(sqrt(list_sum(list_transform(q.qv, x -> x*x))) *
+                           sqrt(list_sum(list_transform(a.v, x -> x*x))),
+                           1e-12) AS score
+              FROM qcells q JOIN assigned a USING (cid))
             SELECT query_id, vec_id, rank FROM (
               SELECT query_id, vec_id, row_number() OVER (
                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank

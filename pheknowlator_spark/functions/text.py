@@ -8,6 +8,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -160,7 +162,11 @@ def token_length_distribution(
     Returns ``[lang, p50, p90, p99, n_docs]`` (for the default quantiles).
     """
     quantiles = quantiles or [0.5, 0.9, 0.99]
-    qlist = ", ".join(f"{q}D" for q in quantiles)
+    # Decimal(repr(q)) formats without scientific notation (f"{5e-05}D"
+    # would render an invalid '5e-05D' SQL literal)
+    qlist = ", ".join(
+        format(Decimal(repr(q)), "f") + "D" for q in quantiles
+    )
     d = docs.select(
         F.col(lang_col).alias("lang"),
         token_count_ws(F.col(text_col)).alias("__tok"),
@@ -169,8 +175,13 @@ def token_length_distribution(
         F.expr(f"percentile(__tok, array({qlist}))").alias("__q"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    def _plabel(q: float) -> str:
+        # int(q*100) truncates (0.29*100 == 28.999... -> p28); exact
+        # decimal arithmetic keeps p29/p99_9/p0_005 stable for any q
+        pct = (Decimal(repr(q)) * 100).normalize()
+        return "p" + format(pct, "f").replace(".", "_")
+
     cols = [F.col("lang")] + [
-        F.col("__q")[i].alias(f"p{int(q * 100)}")
-        for i, q in enumerate(quantiles)
+        F.col("__q")[i].alias(_plabel(q)) for i, q in enumerate(quantiles)
     ] + [F.col("n_docs")]
     return agg.select(*cols)

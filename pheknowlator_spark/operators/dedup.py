@@ -37,12 +37,17 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Keep the min-id representative per fingerprint group."""
-    w = Window.partitionBy(fingerprint64(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep the min-id representative per fingerprint group.
+
+    One ``min_by`` hash aggregation (map-side partial combine: a single
+    candidate row per fingerprint per partition crosses the shuffle) —
+    no row_number window sort.
+    """
+    row = F.struct(*[F.col(c).alias(c) for c in docs.columns])
     return (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        docs.groupBy(fingerprint64(F.col(text_col)).alias("__fp"))
+        .agg(F.min_by(row, F.col(id_col)).alias("__w"))
+        .select("__w.*")
     )
 
 
@@ -181,11 +186,34 @@ def ngram_jaccard_pairs(
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
-def simhash64(text_col, shingle_k: int = 2):
-    """64-bit SimHash as pure column math: per-shingle xxhash64, majority
-    vote per bit via sign aggregation over the shingle array."""
+def md5_hash64(col):
+    """First 8 bytes of md5 as a signed 64-bit column, big-endian — the
+    bit pattern of ``int.from_bytes(md5(s).digest()[:8], 'big')`` and of
+    DuckDB's ``CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT)``.
+
+    Built from the top 15 hex digits (60 bits, fits signed long) shifted
+    into place and OR'd with the 16th digit: ``shiftleft``/``bitwiseOR``
+    are raw bit ops, so the sign bit wraps correctly with no ANSI
+    arithmetic overflow. Slower than ``xxhash64`` (md5 + string slicing
+    per shingle) — used where a SQL-reproducible hash is required.
+    """
+    h = F.md5(col)
+    hi60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    lo4 = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
+    return F.shiftleft(hi60, 4).bitwiseOR(lo4)
+
+
+def simhash64(text_col, shingle_k: int = 2, hash_fn=None):
+    """64-bit SimHash as pure column math: per-shingle 64-bit hash,
+    majority vote per bit via sign aggregation over the shingle array.
+
+    ``hash_fn`` maps a string column to a signed 64-bit hash column;
+    defaults to ``F.xxhash64`` (fastest). Pass :func:`md5_hash64` for a
+    hash DuckDB reproduces bit-exactly (the oracle-gated variant)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     sh = shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: hash_fn(s))
     def _vote_merger(mask):
         # closure factory: a default-arg lambda would change the visible
         # arity and break pyspark's higher-order-function binding
@@ -213,6 +241,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup: candidates share at least one of ``blocks`` bit
     blocks (pigeonhole: hamming ≤ blocks-1 guarantees a shared block), then
@@ -226,7 +255,10 @@ def simhash_near_duplicates(
         raise ValueError("blocks must be <= 64 (64-bit simhash)")
     # block boundaries cover all 64 bits, widths differ by at most one bit
     bounds = [round(i * 64 / blocks) for i in range(blocks + 1)]
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    sh = docs.select(
+        F.col(id_col),
+        simhash64(F.col(text_col), hash_fn=hash_fn).alias("sim"),
+    )
     banded = sh.select(
         id_col,
         "sim",

@@ -217,10 +217,28 @@ def compile_criterion(df: DataFrame, crit: str) -> DataFrame:
             if asc:
                 key_fields = [F.col(sort_col).alias("__k")]
             else:
+                sort_c = F.col(sort_col)
+                if dtype in ("tinyint", "smallint", "int", "bigint"):
+                    # negate on a widened type: -(INT64_MIN) overflows and
+                    # aborts under Spark 4's default ANSI mode (and wraps
+                    # silently with ANSI off); decimal(20,0) holds the full
+                    # magnitude of every integral type
+                    sort_c = sort_c.cast("decimal(20,0)")
                 key_fields = [
                     F.col(sort_col).isNull().cast("int").alias("__kn"),
-                    (-F.col(sort_col)).alias("__k"),
                 ]
+                if dtype in ("float", "double"):
+                    # explicit NaN-last flag: -NaN is still NaN (sorts
+                    # greater than any value), so desc keep-first never
+                    # selects a NaN row — same as pandas sort_values'
+                    # NaN-last default; the flag makes the contract
+                    # explicit rather than an artifact of negation
+                    key_fields.append(
+                        F.when(F.isnan(F.col(sort_col)), 1)
+                        .otherwise(0)
+                        .alias("__knan")
+                    )
+                key_fields.append((-sort_c).alias("__k"))
             ordering = F.struct(
                 *key_fields,
                 *[F.col(c).alias(f"__t{i}") for i, c in enumerate(others)],

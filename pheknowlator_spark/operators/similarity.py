@@ -268,18 +268,23 @@ def ivf_topk(
         )
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    # assign each corpus vector to nearest centroid (broadcast centroids)
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine(F.col("__cv"), F.col("__cent")))
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
+    # assign each corpus vector to nearest centroid (broadcast centroids):
+    # min_by hash aggregation — map-side partial combine, one candidate row
+    # per vector per partition crosses the shuffle. The row_number window
+    # this replaces shuffled k rows per vector through a full sort.
+    sim = cosine(F.col("__cv"), F.col("__cent"))
     corpus_cells = (
-        assigned.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "__cv", "centroid_id")
+        c.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("__cv").alias("__cv"),
+                         F.col("centroid_id").alias("centroid_id")),
+                F.struct((-sim).alias("d"), F.col("centroid_id")),
+            ).alias("__w")
+        )
+        .select(id_col, F.col("__w.__cv").alias("__cv"),
+                F.col("__w.centroid_id").alias("centroid_id"))
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     q_assigned = (

@@ -41,9 +41,16 @@ class StageStore:
     lineage like the reference's file-per-stage IR, SURVEY §3).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 format: str = "parquet"):
+        # ``format`` routes every stage writer/reader (the executable form
+        # of the "one-line Iceberg swap" claim above: any registered
+        # DataSource name works — 'parquet' default, 'orc' tested,
+        # 'iceberg' where a catalog jar exists). Lineage sidecars stay
+        # parquet — they are engine metadata, not stage data.
         self.spark = spark
         self.root = root
+        self.format = format
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, stage: str) -> str:
@@ -63,7 +70,7 @@ class StageStore:
         force: bool = False,
     ) -> DataFrame:
         if self.is_committed(stage) and not force:
-            return self.spark.read.parquet(self._dir(stage))
+            return self.spark.read.format(self.format).load(self._dir(stage))
         t0 = time.time()
         df = fn()
         tmp = self._dir(stage) + ".tmp"
@@ -71,21 +78,22 @@ class StageStore:
         final = self._dir(stage)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
-        writer = df.write.mode("overwrite")
+        writer = df.write.format(self.format).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         # write-then-swap: the previous committed snapshot survives any
         # failure during fn()/the write (a crash before the swap leaves it
         # untouched; a crash between the two renames leaves .trash for
         # manual recovery — the new data is already complete at that point)
-        writer.parquet(tmp)
-        self._write_lineage(stage, self.spark.read.parquet(tmp),
+        writer.save(tmp)
+        self._write_lineage(stage,
+                            self.spark.read.format(self.format).load(tmp),
                             (time.time() - t0) * 1000)
         if os.path.exists(final):
             os.rename(final, trash)
         os.rename(tmp, final)  # atomic commit on one filesystem
         shutil.rmtree(trash, ignore_errors=True)
-        return self.spark.read.parquet(final)
+        return self.spark.read.format(self.format).load(final)
 
     def _write_lineage(self, stage: str, df: DataFrame, wall_ms: float) -> None:
         per_part = (

@@ -113,14 +113,24 @@ def _render_html(i: int, words: list[str]) -> bytes:
     return html.encode("utf-8")
 
 
-def _gen_rows(ids, size_factor: int = 1) -> pd.DataFrame:
+def _gen_rows(ids, size_factor: int = 1,
+              skew: tuple[int, int, int] | None = None) -> pd.DataFrame:
     rows = []
     epoch = _dt.datetime(2024, 1, 1)
     for i in ids:
         i = int(i)
         url = f"https://site{i % 997}.example/doc/{i}"
         ts = epoch + _dt.timedelta(days=i % 365, seconds=i % 86400)
-        words = _page_words(i, size_factor)
+        factor = size_factor
+        if skew is not None:
+            # heavy-tail page sizes: (base, heavy, heavy_pct) — exactly
+            # every (100//heavy_pct)-th contiguous 2048-page segment is
+            # heavy/base times larger (a crawl segment of large documents).
+            # Clustering is the point: it concentrates heavy pages in a few
+            # input files, the split-sizing stress case real corpora pose.
+            base, heavy, heavy_pct = skew
+            factor = heavy if (i // 2048) % max(100 // heavy_pct, 1) == 0 else base
+        words = _page_words(i, factor)
         html = _render_html(i, words)
         text = html_to_text(html)
         lang = _LANGS[_h(i, "lang") % len(_LANGS)] if _h(i, "l2") % 50 == 0 else "en"
@@ -133,15 +143,20 @@ def generate_pages(
     n_pages: int,
     partitions: int | None = None,
     size_factor: int = 1,
+    skew: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Distributed deterministic page generation. ``size_factor`` scales the
-    words-per-page band (1 → 40-120 words; 5 → realistic web-page sizes)."""
+    words-per-page band (1 → 40-120 words; 5 → realistic web-page sizes).
+    ``skew=(base, heavy, heavy_pct)`` instead draws a heavy-tailed
+    per-page size: heavy_pct% of pages at ``heavy``×, the rest ``base``× —
+    the split-sizing stress case (BASELINE.md's 2-4 splits/core + AQE
+    recommendation for non-uniform corpora)."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
     rng = spark.range(0, n_pages, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _gen_rows(pdf["id"].to_numpy(), size_factor)
+            yield _gen_rows(pdf["id"].to_numpy(), size_factor, skew)
 
     return rng.mapInPandas(gen, PAGES_SCHEMA)
 

@@ -22,11 +22,11 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts by event_type; works identically on a batch
     DataFrame and a stream (watermark applied only when streaming)."""
-    src = events
+    # windows/watermarks require TIMESTAMP (not NTZ/string); session TZ is
+    # pinned UTC so the cast is value-preserving. Applied unconditionally so
+    # batch and stream accept the same inputs (incl. string timestamps).
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
-        # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
-        # the cast is value-preserving
-        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(ts_col, window).alias("w"), "event_type")
@@ -51,9 +51,10 @@ def sessionized_event_counts(
     At scale this is ONE shuffle on the key (Spark merges overlapping
     windows inside the aggregation); streaming state is bounded by the
     watermark horizon per active key."""
-    src = events
+    # cast unconditionally (batch/stream parity for string timestamps);
+    # only the watermark is streaming-specific
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
-        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)

@@ -161,7 +161,7 @@ def augmented_two_sided_case(spark) -> dict:
     stats["packed_cell_edges"] = sum(
         1 for _, o in got if o.startswith("DOID_7")
     )
-    return stats
+    return stats, got
 
 
 def compute_report(spark) -> dict:
@@ -211,7 +211,7 @@ def compute_report(spark) -> dict:
     # the stock chemical-disease row is vacuous (reference emits 0 edges);
     # score the two-sided MESH→CHEBI + MESH→DOID join path on an augmented
     # fixture that actually emits edges
-    aug = augmented_two_sided_case(spark)
+    aug, aug_edges = augmented_two_sided_case(spark)
     report["edge_level"]["chemical-disease-augmented"] = aug
     all_ok &= (
         aug["got"] > 0
@@ -253,6 +253,43 @@ def compute_report(spark) -> dict:
     stats["construction_errors"] = errors.count()
     report["triple_level"]["gene-disease"] = stats
     all_ok &= stats["precision"] >= 0.95 and stats["recall"] >= 0.95
+
+    # triple layer for the two-sided-map path: expand the augmented
+    # chemical-disease edges (class-class — pure G1 core, no subclass map)
+    # through the engine and score md5-level against the hashlib oracle
+    cd = master["chemical-disease"]
+    cd_uri1, cd_uri2 = cd["uri"]
+    cd_rel = cd["edge_relation"]
+    cd_rows = [
+        ("chemical-disease-augmented", "class", "class", s, o,
+         cd_uri1, cd_uri2, cd_rel, None)
+        for s, o in sorted(aug_edges)
+    ]
+    cd_edges_df = spark.createDataFrame(
+        cd_rows,
+        "edge_type string, n1_kind string, n2_kind string, sub_id string, "
+        "obj_id string, uri1 string, uri2 string, rel string, inv_rel string",
+    )
+    cd_triples_df, cd_errors = construct_edges(
+        cd_edges_df, None, approach="subclass"
+    )
+    cd_got = {
+        (r.s, r.p, r.o)
+        for r in cd_triples_df.select("s", "p", "o").collect()
+    }
+    cd_expected: set = set()
+    for s, o in aug_edges:
+        cd_expected |= set(
+            expected_subclass_core(cd_uri1 + s, cd_uri2 + o, OBO + cd_rel, None)
+        )
+    cd_stats = pr(cd_got, cd_expected)
+    cd_stats["construction_errors"] = cd_errors.count()
+    report["triple_level"]["chemical-disease-augmented"] = cd_stats
+    all_ok &= (
+        cd_stats["got"] > 0
+        and cd_stats["precision"] >= 0.95
+        and cd_stats["recall"] >= 0.95
+    )
 
     report["pass"] = bool(all_ok)
     return report

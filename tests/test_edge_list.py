@@ -275,3 +275,37 @@ def test_identifier_maps_packed_cells(spark):
     )
     got = {(r.sub_id, r.obj_id) for r in out.collect()}
     assert got == {("CHEBI_1", "D1"), ("CHEBI_2", "D1"), ("CHEBI_3", "D2")}
+
+
+def test_filter_dedup_desc_int_min(spark):
+    # desc keep-first on a bigint column containing INT64_MIN: naive
+    # negation overflows (aborts under ANSI mode, silently wraps without),
+    # ranking the minimum as the maximum; the widened-decimal negation
+    # must keep the true max row and not throw
+    df = spark.createDataFrame(
+        [
+            ("k1", -(1 << 63)),
+            ("k1", 5),
+            ("k1", 7),
+            ("k2", -(1 << 63)),
+        ],
+        "key string, val long",
+    )
+    out = compile_criterion(df, "1-0;dedup;desc")
+    got = {(r.key, r.val) for r in out.collect()}
+    assert got == {("k1", 7), ("k2", -(1 << 63))}
+
+
+def test_filter_dedup_desc_nan_last(spark):
+    # NaN never wins desc keep-first (pandas sort_values NaN-last
+    # semantics), and the real maximum is kept
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("k1", nan), ("k1", 5.0), ("k1", 2.0), ("k2", nan)],
+        "key string, val double",
+    )
+    out = compile_criterion(df, "1-0;dedup;desc")
+    rows = {r.key: r.val for r in out.collect()}
+    assert rows["k1"] == 5.0
+    import math
+    assert math.isnan(rows["k2"])  # all-NaN group still yields a row

@@ -33,3 +33,8 @@ def test_parity_pr_report(spark):
     aug = report["edge_level"]["chemical-disease-augmented"]
     assert aug["got"] > 0 and aug["expected"] > 0, aug
     assert aug["packed_cell_edges"] > 0, aug
+    # ...and scored at the triple level too (md5-exact G1 core per edge)
+    cdt = report["triple_level"]["chemical-disease-augmented"]
+    assert cdt["got"] > 0, cdt
+    assert cdt["precision"] == 1.0 and cdt["recall"] == 1.0, cdt
+    assert cdt["construction_errors"] == 0

@@ -140,3 +140,21 @@ def test_windowed_counts_batch_equals_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stage_store_format_routing(spark, tmp_path):
+    # the "one-line Iceberg swap" claim, executable: a non-parquet format
+    # string routes both the stage writer and the resume reader (orc is a
+    # built-in stand-in for any registered DataSource, incl. iceberg)
+    import glob
+
+    store = StageStore(spark, str(tmp_path / "stages"), format="orc")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    out = store.run("s1", lambda: df)
+    assert out.count() == 10
+    files = glob.glob(str(tmp_path / "stages" / "s1" / "*.orc"))
+    assert files, "stage data not written through the orc DataSource"
+    # resume path reads through the same format (fn must not be invoked)
+    resumed = store.run("s1", lambda: (_ for _ in ()).throw(AssertionError))
+    assert resumed.count() == 10
+    assert {r.v for r in resumed.collect()} == {2 * i for i in range(10)}

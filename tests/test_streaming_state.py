@@ -212,3 +212,29 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     assert ("u1", "2024-01-01 10:00:00", 3) in expected
     assert sum(1 for u, _, _ in expected if u == "u1") == 2
     assert sum(1 for u, _, _ in expected if u == "u2") == 2
+
+
+def test_event_windows_accept_string_timestamps(spark):
+    # batch/stream parity for string ts columns: the timestamp cast is
+    # applied unconditionally, so a batch DataFrame with a string ts works
+    # exactly like the equivalent stream input
+    from pheknowlator_spark.streaming.events import (
+        sessionized_event_counts,
+        windowed_event_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", "click"),
+            ("u1", "2024-01-01 00:10:00", "click"),
+            ("u1", "2024-01-01 01:10:00", "view"),
+            ("u2", "2024-01-01 00:05:00", "click"),
+        ],
+        "user_id string, ts string, event_type string",
+    )
+    sess = sessionized_event_counts(df, gap="30 minutes").collect()
+    assert {(r.user_id, r.n_events) for r in sess} == {
+        ("u1", 2), ("u1", 1), ("u2", 1),
+    }
+    win = windowed_event_counts(df, window="1 hour").collect()
+    assert {(r.event_type, r.cnt) for r in win} == {("click", 3), ("view", 1)}

@@ -287,3 +287,86 @@ def test_kmeans_ivf_recovers_separated_clusters(spark):
         ).collect()
     }
     assert trained == exact
+
+
+def test_md5_hash64_bit_pattern(spark):
+    # signed-long bit pattern must equal int.from_bytes(md5[:8], 'big') —
+    # the contract that lets DuckDB re-derive it via
+    # CAST('0x'||substring(md5(s),1,16) AS UBIGINT)
+    import hashlib
+
+    from pheknowlator_spark.operators.dedup import md5_hash64
+
+    texts = ["hello world", "", "a b c", "x", "ünïcode ok"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", md5_hash64(F.col("t")).alias("h")).collect()
+    for r in rows:
+        expect = int.from_bytes(
+            hashlib.md5(r.t.encode()).digest()[:8], "big"
+        )
+        assert (r.h & 0xFFFFFFFFFFFFFFFF) == expect
+
+
+def test_simhash_md5_variant_exactness(spark, documents):
+    # the oracle-gated md5-hash variant must also be pigeonhole-exact
+    # (same banding plan, different per-shingle hash)
+    from pheknowlator_spark.operators.dedup import (
+        md5_hash64,
+        simhash64,
+        simhash_near_duplicates,
+    )
+
+    docs = documents.filter(F.col("doc_id") < 120)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_duplicates(
+            docs, max_hamming=6, hash_fn=md5_hash64
+        ).collect()
+    }
+    sh = docs.select(
+        "doc_id", simhash64(F.col("text"), hash_fn=md5_hash64).alias("sim")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sim").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sim").alias("sb"))
+    brute = (
+        a.crossJoin(b).filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+    expected = {(r.a, r.b, r.hamming) for r in brute.collect()}
+    assert got == expected
+
+
+def test_dedup_exact_no_window_plan(spark, docs_with_dups):
+    # min_by hash aggregation replaces the row_number window: no Window
+    # node and no sort in the executed plan
+    kept = dedup_exact(docs_with_dups)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5}
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_ivf_corpus_assignment_no_window(spark, embeddings):
+    # corpus→cell assignment is a min_by aggregation; the only Window
+    # nodes left are query-side (nprobe probe + final top-k), both
+    # dimension-sized
+    queries = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(embeddings, queries, k=3, n_centroids=8, nprobe=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # count Window NODES ("Window [...]"), not the WindowGroupLimit
+    # rank-pushdown companions the optimizer adds beneath each
+    assert plan.count("Window [") == 2, plan
+
+
+def test_token_percentile_label_precision(spark, documents):
+    # 0.29 must label p29 (int(0.29*100) == 28), tiny quantiles must not
+    # render scientific-notation SQL literals
+    from pheknowlator_spark.functions.text import token_length_distribution
+
+    out = token_length_distribution(documents, quantiles=[0.29, 5e-05, 0.999])
+    assert out.columns == ["lang", "p29", "p0_005", "p99_9", "n_docs"]
+    assert out.count() > 0
