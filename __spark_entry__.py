@@ -556,6 +556,31 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means trainer under the oracle gate: 2
+    iterations from the deterministic first-8-by-id init, centroids
+    emitted as (cid, pos, val) rows rounded to 6 decimals (Spark's
+    distributed partial-sum means and DuckDB's sequential means agree to
+    ~1e-15 relative; rounding absorbs the summation-order difference).
+    The oracle replays the exact iteration chain — assign (argmax cosine,
+    centroid-id tie-break), per-dimension means, empty-cluster carryover —
+    as chained SQL CTEs."""
+    from pheknowlator_spark.operators.similarity import kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2)
+    return cents.select(
+        F.col("centroid_id").alias("cid"),
+        F.posexplode("__cent").alias("pos", "val"),
+    ).select(
+        "cid", (F.col("pos") + 1).alias("pos"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing: the mapInPandas feature extraction runs
     end-to-end (fake codec) and the query returns the gate-sortable scalar
@@ -1128,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -1412,6 +1438,57 @@ e AS (
 {core}
 SELECT DISTINCT s, p, o FROM ({fwd_rows}{bwd_rows})
 """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Closed-form SQL replay of the Lloyd k-means driver loop
+    (similarity.kmeans_centroids): deterministic first-k-by-id init, then
+    per iteration argmax-cosine assignment (centroid-id ascending
+    tie-break, matching the Spark min_by ordering struct), per-dimension
+    means, and empty-cluster carryover — one CTE block per iteration."""
+    cos = (
+        "list_sum(list_transform(list_zip(e.v, c.cent), p -> p[1]*p[2]))"
+        " / greatest(sqrt(list_sum(list_transform(e.v, q -> q*q))) *"
+        " sqrt(list_sum(list_transform(c.cent, q -> q*q))), 1e-12)"
+    )
+    blocks = [
+        """
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(vec_id AS VARCHAR) AS cid, v AS cent
+          FROM e ORDER BY vec_id LIMIT {k})
+        """.format(k=k)
+    ]
+    for it in range(1, iters + 1):
+        blocks.append(
+            f"""
+        s{it} AS (
+          SELECT e.vec_id, e.v, c.cid, {cos} AS sim
+          FROM e, c{it - 1} c),
+        a{it} AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM s{it}) WHERE rn = 1),
+        m{it} AS (
+          SELECT cid, i AS pos, avg(v[i]) AS m
+          FROM a{it}, generate_series(1, {dim}) t(i)
+          GROUP BY cid, i),
+        c{it} AS (
+          SELECT c{it - 1}.cid, coalesce(ml.cent, c{it - 1}.cent) AS cent
+          FROM c{it - 1} LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS cent FROM m{it}
+            GROUP BY cid) ml USING (cid))
+        """
+        )
+    return (
+        "WITH " + ",".join(blocks) + f"""
+        SELECT cid, pos, round(cent[pos], 6) AS val
+        FROM c{iters}, generate_series(1, {dim}) t(pos)
+    """
+    )
 
 
 def _simhash_oracle_sql(max_hamming: int = 6, shingle_k: int = 2) -> str:
@@ -1867,6 +1944,8 @@ def oracle_sql() -> dict[str, str]:
         # all-pairs hamming over md5-hashed simhashes — exact because the
         # Spark query's pigeonhole banding has no false negatives
         "simhash_near_dup": _simhash_oracle_sql(max_hamming=6),
+        # Lloyd k-means iteration chain replayed as CTEs (2 iterations)
+        "kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
         # exact all-pairs cosine over corpus + synthesized twins — the
         # LSH-bucketed near-dup output must equal this set
         "embedding_near_dup": """

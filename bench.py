@@ -105,9 +105,15 @@ def stage_skewed_pages() -> None:
     from pheknowlator_spark.sources.pages import generate_pages
 
     spark = get_spark(app_name="bench_setup_skew", master=f"local[{CPUS}]")
+    # 1 MB row groups: keeps heavy files SPLITTABLE below maxPartitionBytes
+    # (the production analog — Iceberg writes ~128 MB row groups inside
+    # ~512 MB files, so splits can subdivide a heavy segment; a
+    # single-row-group file would make split sizing a no-op)
     generate_pages(
         spark, SKEW_PAGES, partitions=STAGE_FILES, skew=SKEW
-    ).write.mode("overwrite").parquet(SKEW_DIR)
+    ).write.mode("overwrite").option(
+        "parquet.block.size", str(1 << 20)
+    ).parquet(SKEW_DIR)
     spark.stop()
 
 

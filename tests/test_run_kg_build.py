@@ -145,6 +145,25 @@ def test_partial_flavor_contract(spark, fixture_dir, tmp_path):
     assert out["constructed_edges"].count() > 0
 
 
+def test_instance_flavor_constructs_individuals(spark, fixture_dir, tmp_path):
+    # instance approach (G2/G4): gene entities become NamedIndividuals
+    # typed by their subclass-map classes instead of subclass restrictions
+    from run_kg_build import run
+
+    args = _args(fixture_dir, tmp_path / "inst", app="instance", rel="no",
+                 owl="no")
+    args.spark = spark
+    out = run(args)
+    name = "PheKnowLator_v3.1.2_full_instance_relationsOnly_OWL"
+    assert os.path.exists(os.path.join(str(tmp_path / "inst"), f"{name}.nt"))
+    cons = {(r.s, r.p, r.o) for r in out["constructed_edges"].collect()}
+    assert len(cons) > 0
+    named_ind = "http://www.w3.org/2002/07/owl#NamedIndividual"
+    assert any(o == named_ind for _, _, o in cons)
+    # no decode requested -> no owlnets stage
+    assert "owlnets" not in out
+
+
 def test_kg_filename_matrix():
     from run_kg_build import kg_filename
 

@@ -205,3 +205,31 @@ def test_re_extract_pipeline_matches_general_path(spark):
     t1 = {(r.s, r.p, r.o) for r in fast["triples"].collect()}
     t2 = {(r.s, r.p, r.o) for r in gen["triples"].collect()}
     assert t1 == t2 and len(t1) > 0
+
+
+def test_generate_pages_clustered_skew(spark):
+    # skew=(base, heavy, pct): every (100//pct)-th contiguous 2048-page
+    # segment is heavy — deterministic, and heavy pages really are ~heavy/
+    # base times longer than base pages
+    from pheknowlator_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 6000, partitions=4, skew=(1, 20, 25))
+    lens = (
+        pages.select(
+            F.element_at(F.split("url", "/"), -1).cast("long").alias("i"),
+            F.length("text").alias("n"),
+        )
+        .collect()
+    )
+    by_block = {}
+    for r in lens:
+        by_block.setdefault(r.i // 2048, []).append(r.n)
+    # blocks 0..2 exist; every 4th block heavy → block 0 heavy, 1,2 base
+    avg = {b: sum(v) / len(v) for b, v in by_block.items()}
+    assert avg[0] > 10 * avg[1]
+    assert abs(avg[1] - avg[2]) < 0.3 * avg[1]
+    # determinism: same call → same bytes
+    again = generate_pages(spark, 6000, partitions=4, skew=(1, 20, 25))
+    a = sorted((r.url, len(r.text)) for r in pages.collect())
+    b = sorted((r.url, len(r.text)) for r in again.collect())
+    assert a == b
