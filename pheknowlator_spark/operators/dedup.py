@@ -203,9 +203,17 @@ def md5_hash64(col):
     return F.shiftleft(hi60, 4).bitwiseOR(lo4)
 
 
+def _bit_masks():
+    # two's-complement mask for the sign bit; plain power of two otherwise
+    return [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
 def simhash64(text_col, shingle_k: int = 2, hash_fn=None):
     """64-bit SimHash as pure column math: per-shingle 64-bit hash,
-    majority vote per bit via sign aggregation over the shingle array.
+    majority vote per bit via ONE sign aggregation over the shingle array
+    (accumulator = array of 64 vote counters, merged with zip_with — the
+    hash transform is referenced once, so an expensive ``hash_fn`` runs
+    once per shingle, not 64 times as with per-bit aggregates).
 
     ``hash_fn`` maps a string column to a signed 64-bit hash column;
     defaults to ``F.xxhash64`` (fastest). Pass :func:`md5_hash64` for a
@@ -214,25 +222,31 @@ def simhash64(text_col, shingle_k: int = 2, hash_fn=None):
         hash_fn = F.xxhash64
     sh = shingles(text_col, shingle_k)
     hashes = F.transform(sh, lambda s: hash_fn(s))
-    def _vote_merger(mask):
-        # closure factory: a default-arg lambda would change the visible
-        # arity and break pyspark's higher-order-function binding
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    bit_exprs = []
-    for bit in range(64):
-        # two's-complement mask for the sign bit; plain power of two otherwise
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        votes = F.aggregate(hashes, F.lit(0), _vote_merger(mask))
-        bit_exprs.append(
-            F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out.bitwiseOR(e)
-    return out
+    masks = _bit_masks()
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                mask_arr,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold votes → simhash with single-reference expressions all the way
+    # down (indexing `votes` 64 times would re-evaluate the aggregate)
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            mask_arr,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_near_duplicates(

@@ -8,7 +8,7 @@ approx_count_distinct (both exposed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pheknowlator_spark.functions.rdf import (
@@ -80,12 +80,17 @@ def mode_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     min) tie-break — replaces statistics.mode + random.sample tie-break
     (owlnets.py:703-704; SURVEY §7.4 risk 2)."""
     counted = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("cnt").desc(), F.col(value_col).asc()
-    )
+    # top-1 per group as a min_by hash aggregation (map-side partial
+    # combine) instead of a row_number window sort; cnt >= 1 so the
+    # negated ordering key cannot overflow
     return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        counted.groupBy(group_col)
+        .agg(
+            F.min_by(
+                F.col(value_col),
+                F.struct((-F.col("cnt")).alias("d"), F.col(value_col)),
+            ).alias(value_col)
+        )
         .select(group_col, value_col)
     )
 

@@ -15,7 +15,7 @@ partition into S even ones. AQE skew-join handles residual skew at runtime.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,17 +37,22 @@ def score_mentions(mentions: DataFrame, priors: DataFrame | None = None) -> Data
         )
     else:
         m = m.withColumn("score", F.col("surface_len").cast("double"))
-    w = Window.partitionBy("url", "begin", "end").orderBy(
-        F.col("score").desc(), F.col("curie").asc()
-    )
+    # argmax per span as ONE min_by hash aggregation — the window-sort
+    # version shuffled every raw mention row through a full sort keyed by
+    # (url, begin, end); min_by crosses the shuffle with one candidate
+    # row per span per partition (the fused scan path avoids even this,
+    # but the general path should still scale)
+    helper = ["surface_len", "score"] + (["prior"] if priors is not None else [])
+    out_cols = [c for c in m.columns if c not in helper]
+    row = F.struct(*[F.col(c).alias(c) for c in out_cols])
     return (
-        m.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "surface_len", "score", "prior")
-        if priors is not None
-        else m.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "surface_len", "score")
+        m.groupBy("url", "begin", "end")
+        .agg(
+            F.min_by(
+                row, F.struct((-F.col("score")).alias("d"), F.col("curie"))
+            ).alias("__w")
+        )
+        .select("__w.*")
     )
 
 
