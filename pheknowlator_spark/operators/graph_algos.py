@@ -168,6 +168,7 @@ def transitive_closure(
         .distinct()
     )
     paths = _cut_lineage(paths)
+    old_count = paths.count()
     for _ in range(max_iterations):
         hops = (
             paths.alias("x")
@@ -179,10 +180,13 @@ def transitive_closure(
         )
         new_paths = paths.unionByName(hops).distinct()
         new_paths = _cut_lineage(new_paths)
-        new_count, old_count = new_paths.count(), paths.count()
+        # carry the previous round's count instead of recounting the
+        # checkpointed frame — one fewer job per round
+        new_count = new_paths.count()
         paths = new_paths
         if new_count == old_count:
             break
+        old_count = new_count
     return paths
 
 

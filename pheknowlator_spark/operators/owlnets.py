@@ -152,12 +152,19 @@ def assign_forests(triples: DataFrame, roots: DataFrame, max_depth: int = 12) ->
     number of roots is what parallelizes.
     """
     t = triples.select("s", "p", "o", "o_is_literal")
-    root_edges = roots.join(t, roots.root == t.s, "inner").select(
-        "root", "s", "p", "o", "o_is_literal"
+    # cut once: the base feeds both the accumulator and the first frontier
+    root_edges = _cut_lineage(
+        roots.join(t, roots.root == t.s, "inner").select(
+            "root", "s", "p", "o", "o_is_literal"
+        )
     )
-    acc = root_edges
+    # accumulate LAZY per-level deltas and distinct ONCE at the end — the
+    # old shape re-checkpointed the whole accumulated forest every level
+    # (O(depth²) re-materialization; at tiny forest depth the per-level
+    # job overhead dominated the entire decode)
+    acc_parts = [root_edges]
     # frontier: anonymous objects not yet expanded per root
-    frontier = (
+    frontier = _cut_lineage(
         root_edges.filter(_bnode_col(F.col("o")))
         .select("root", F.col("o").alias("node"))
         .distinct()
@@ -166,22 +173,30 @@ def assign_forests(triples: DataFrame, roots: DataFrame, max_depth: int = 12) ->
     for _ in range(max_depth):
         if frontier.isEmpty():
             break
-        expanded = frontier.join(t, frontier.node == t.s, "inner").select(
-            "root", "s", "p", "o", "o_is_literal"
+        # one lineage cut per level, on the DELTA only (reliable-
+        # checkpoint aware — executor loss mid-walk on a real cluster
+        # must not recompute the whole frontier chain); two consumers
+        # read it (accumulator + next frontier)
+        expanded = _cut_lineage(
+            frontier.join(t, frontier.node == t.s, "inner").select(
+                "root", "s", "p", "o", "o_is_literal"
+            )
         )
-        # lineage cut per level (reliable-checkpoint aware, like the other
-        # iterative algorithms — executor loss mid-walk on a real cluster
-        # must not recompute the whole frontier chain)
-        acc = _cut_lineage(acc.unionByName(expanded).distinct())
+        acc_parts.append(expanded)
         new_frontier = _cut_lineage(
             expanded.filter(_bnode_col(F.col("o")))
             .select("root", F.col("o").alias("node"))
             .distinct()
             .join(visited, ["root", "node"], "left_anti")
         )
-        visited = visited.unionByName(new_frontier).distinct()
+        # successive frontiers are disjoint by the anti-join — plain
+        # union keeps the visited set exact with no distinct shuffle
+        visited = visited.unionByName(new_frontier)
         frontier = new_frontier
-    return acc
+    acc = acc_parts[0]
+    for part in acc_parts[1:]:
+        acc = acc.unionByName(part)
+    return acc.distinct()
 
 
 # ---------------------------------------------------------------------------
