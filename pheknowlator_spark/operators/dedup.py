@@ -345,7 +345,7 @@ def embedding_near_duplicates(
     buckets = v.select(
         "__id",
         "__v",
-        F.explode(_bucket_structs(F.col("__v"), tables, bits, dim)).alias("tb"),
+        F.explode(_bucket_structs("__v", tables, bits, dim)).alias("tb"),
     ).select(
         "__id", "__v",
         F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),

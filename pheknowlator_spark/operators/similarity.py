@@ -85,32 +85,35 @@ def _hyperplanes(dim: int, bits: int, table: int) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    bits = []
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
-def _bucket_structs(vec: Column, tables: int, bits: int, dim: int) -> Column:
+def _bucket_structs(vec_col: str, tables: int, bits: int, dim: int) -> Column:
     """All tables' (table, bucket) pairs as ONE projection — exploding this
     array reads the vector table once, where a per-table union would scan
-    it ``tables`` times (k× scan amplification at corpus scale)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _bucket_expr(vec, _hyperplanes(dim, bits, t)).alias("bucket"),
+    it ``tables`` times (k× scan amplification at corpus scale).
+
+    The whole bucketer is ONE generated SQL expression (a single py4j
+    round trip): building it from per-literal ``F.lit`` Columns spent
+    10+ s of driver time on a 12-table × 3-bit × 64-d config — thousands
+    of py4j calls for a plan whose execution takes 2 s. String→double
+    casts round-trip shortest-repr floats exactly."""
+    structs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        bit_terms = []
+        for i, plane in enumerate(planes):
+            arr = "array(" + ", ".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane
+            ) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+                "0D, (a, v) -> a + v)"
             )
-            for t in range(tables)
-        ]
-    )
+            bit_terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        structs.append(
+            f"named_struct('table', {t}, 'bucket', {' + '.join(bit_terms)})"
+        )
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def lsh_topk(
@@ -149,12 +152,12 @@ def lsh_topk(
     cb = c.select(
         id_col,
         "__cv",
-        F.explode(_bucket_structs(F.col("__cv"), tables, bits, dim)).alias("tb"),
+        F.explode(_bucket_structs("__cv", tables, bits, dim)).alias("tb"),
     ).select(id_col, "__cv", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     qb = q.select(
         query_id_col,
         "__qv",
-        F.explode(_bucket_structs(F.col("__qv"), tables, bits, dim)).alias("tb"),
+        F.explode(_bucket_structs("__qv", tables, bits, dim)).alias("tb"),
     ).select(query_id_col, "__qv", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
     cands = (
