@@ -336,6 +336,24 @@ def main() -> None:
     scan_quarter, scan_full, scan_reps_q, scan_reps_f = _scaled_pair(
         run_scan_job, quarter, full, reps
     )
+    # containment repair: the pipeline CONTAINS the scan stage, so a scan
+    # floor above the pipeline floor on the same core count is physically
+    # impossible — it proves a storm polluted every scan window on that
+    # side. Re-measure the violating side (bounded retries).
+    for _ in range(2):
+        fixed = True
+        if scan_quarter > t_quarter:
+            t2, r2 = _timed(quarter, reps, run_scan_job)
+            scan_quarter = min(scan_quarter, t2)
+            scan_reps_q += r2
+            fixed = False
+        if scan_full > t_full:
+            t2, r2 = _timed(full, reps, run_scan_job)
+            scan_full = min(scan_full, t2)
+            scan_reps_f += r2
+            fixed = False
+        if fixed:
+            break
     pages_per_hour = N_PAGES / t_full * 3600
 
     thr_n, thr_4n = N_PAGES / t_quarter, N_PAGES / t_full

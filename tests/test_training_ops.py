@@ -370,3 +370,44 @@ def test_token_percentile_label_precision(spark, documents):
     out = token_length_distribution(documents, quantiles=[0.29, 5e-05, 0.999])
     assert out.columns == ["lang", "p29", "p0_005", "p99_9", "n_docs"]
     assert out.count() > 0
+
+
+def test_bucket_structs_sql_float_roundtrip(spark):
+    # the SQL-generated bucketer casts shortest-repr float strings back to
+    # double; hyperplane components must round-trip exactly so buckets are
+    # identical to the Column-built equivalent
+    from pheknowlator_spark.operators.similarity import (
+        _bucket_structs,
+        _hyperplanes,
+    )
+
+    dim, bits, tables = 8, 4, 2
+    planes = [_hyperplanes(dim, bits, t) for t in range(tables)]
+    vecs = [
+        [1.0] + [0.0] * (dim - 1),
+        [0.1234567890123456] * dim,
+        [-1e-15, 1e15] + [0.5] * (dim - 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, __v array<double>"
+    )
+    got = {
+        (r.vec_id, r.tb.table, r.tb.bucket)
+        for r in df.select(
+            "vec_id",
+            F.explode(_bucket_structs("__v", tables, bits, dim)).alias("tb"),
+        ).collect()
+    }
+    # python re-derivation with exact float arithmetic mirrors the SQL
+    expect = set()
+    for i, v in enumerate(vecs):
+        for t in range(tables):
+            bucket = 0
+            for b, plane in enumerate(planes[t]):
+                acc = 0.0
+                for x, y in zip(v, plane):
+                    acc = acc + (x * y)
+                if acc >= 0:
+                    bucket += 1 << b
+            expect.add((i, t, bucket))
+    assert got == expect
