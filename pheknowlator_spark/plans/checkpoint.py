@@ -86,28 +86,54 @@ class StageStore:
         # untouched; a crash between the two renames leaves .trash for
         # manual recovery — the new data is already complete at that point)
         writer.save(tmp)
-        self._write_lineage(stage,
-                            self.spark.read.format(self.format).load(tmp),
-                            (time.time() - t0) * 1000)
+        self._write_lineage(stage, tmp, (time.time() - t0) * 1000)
         if os.path.exists(final):
             os.rename(final, trash)
         os.rename(tmp, final)  # atomic commit on one filesystem
         shutil.rmtree(trash, ignore_errors=True)
         return self.spark.read.format(self.format).load(final)
 
-    def _write_lineage(self, stage: str, df: DataFrame, wall_ms: float) -> None:
-        per_part = (
-            df.withColumn("__pid", F.spark_partition_id())
-            .groupBy("__pid")
-            .agg(F.count(F.lit(1)).alias("output_rows"))
-            .select(
-                F.lit(stage).alias("stage"),
-                F.col("__pid").alias("partition_id"),
-                "output_rows",
-                F.lit(int(wall_ms)).alias("wall_ms"),
-                F.current_timestamp().alias("ts"),
-            )
-        )
+    def _write_lineage(self, stage: str, data_dir: str, wall_ms: float) -> None:
+        """One lineage row per output partition (= output file).
+
+        For parquet stages the row counts come from the file FOOTERS —
+        driver-side metadata reads, no second scan of the stage data (at
+        100 TB a post-write re-read per stage would double every commit's
+        IO; Iceberg's manifest row counts are the production analog of
+        this footer read). Non-parquet formats fall back to a Spark
+        count-by-partition pass.
+        """
+        rows = None
+        if self.format == "parquet":
+            try:
+                import pyarrow.parquet as pq
+
+                files = sorted(
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(data_dir)
+                    for f in fs
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                rows = [
+                    (pid, pq.ParquetFile(f).metadata.num_rows)
+                    for pid, f in enumerate(files)
+                ]
+            except Exception:
+                rows = None  # unreadable footer → Spark fallback below
+        if rows is None:
+            df = self.spark.read.format(self.format).load(data_dir)
+            rows = [
+                (r["__pid"], r["output_rows"])
+                for r in df.withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("output_rows"))
+                .collect()
+            ]
+        per_part = self.spark.createDataFrame(
+            [(stage, int(pid), int(n), int(wall_ms)) for pid, n in rows]
+            or [(stage, 0, 0, int(wall_ms))],
+            "stage string, partition_id int, output_rows long, wall_ms long",
+        ).withColumn("ts", F.current_timestamp())
         per_part.write.mode("overwrite").parquet(self._lineage_dir(stage))
 
     def lineage(self) -> DataFrame:

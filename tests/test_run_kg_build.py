@@ -164,6 +164,24 @@ def test_instance_flavor_constructs_individuals(spark, fixture_dir, tmp_path):
     assert "owlnets" not in out
 
 
+def test_post_closure_flavor(spark, fixture_dir, tmp_path):
+    # third build type through the CLI: reasoner-closed graph in, edge
+    # construction skipped, full output contract out
+    from run_kg_build import run
+
+    args = _args(fixture_dir, tmp_path / "pc", kg="post-closure", rel="no",
+                 owl="yes", closed=f"{REF}/PheKnowLator_Closed.owl")
+    args.spark = spark
+    out = run(args)
+    name = "PheKnowLator_v3.1.2_post-closure_subclass_relationsOnly_noOWL"
+    kg = str(tmp_path / "pc")
+    for artifact in [f"{name}.nt", f"{name}_OWLNETS.nt", "Triples_Integers"]:
+        assert os.path.exists(os.path.join(kg, artifact)), artifact
+    assert out["constructed_edges"].count() == 0
+    assert out["full_graph"].count() > 0
+    assert out["owlnets"].count() > 0
+
+
 def test_kg_filename_matrix():
     from run_kg_build import kg_filename
 
