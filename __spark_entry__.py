@@ -556,6 +556,21 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints with the md5-derived
+    63-bit hash — the whole selection (ordered k-gram hashes → per-window
+    min → distinct) re-derives closed-form in DuckDB."""
+    from pheknowlator_spark.operators.dedup import (
+        md5_hash64,
+        winnow_fingerprints,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(
+        docs, shingle_k=3, window=4, hash_fn=md5_hash64
+    )
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means trainer under the oracle gate: 2
     iterations from the deterministic first-8-by-id init, centroids
@@ -1154,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -1946,6 +1962,36 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(max_hamming=6),
         # Lloyd k-means iteration chain replayed as CTEs (2 iterations)
         "kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
+        # winnowing re-derivation: ordered 3-gram md5 hashes (63-bit
+        # masked so unsigned/signed min orderings agree), window-of-4
+        # minima, distinct
+        "winnow_fingerprint": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents WHERE doc_id < 300
+            ), sh AS (
+              SELECT doc_id, CASE WHEN len(words) < 3
+                THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ')
+                      for i in range(1, len(words) - 3 + 2)]
+                END AS sh
+              FROM w
+            ), hs AS (
+              SELECT doc_id, list_transform(sh, s ->
+                CAST(CAST('0x'||substring(md5(s),1,16) AS UBIGINT)
+                     & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
+              FROM sh
+            ), fp AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(hs) < 4
+                THEN [list_min(hs)]
+                ELSE [list_min(hs[i:i+3])
+                      for i in range(1, len(hs) - 4 + 2)]
+                END) AS fps
+              FROM hs
+            )
+            SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp
+        """,
         # exact all-pairs cosine over corpus + synthesized twins — the
         # LSH-bucketed near-dup output must equal this set
         "embedding_near_dup": """

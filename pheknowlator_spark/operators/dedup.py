@@ -305,6 +305,55 @@ def simhash_near_duplicates(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (rolling-hash selection):
+    hash every ORDERED word k-gram, slide a ``window``-hash window, keep
+    each window's minimum, distinct. Any shared word run of length
+    ≥ shingle_k + window - 1 between two documents is guaranteed to share
+    at least one fingerprint — the plagiarism/near-dup sketch that, unlike
+    MinHash, localizes matches.
+
+    Pure Column math (one projection + explode; the only shuffle is the
+    caller's). Hashes are masked to 63 bits so the signed ordering equals
+    DuckDB's unsigned ordering (oracle parity for :func:`md5_hash64`).
+    Returns ``[<id_col>, fingerprint]`` rows.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    max63 = (1 << 63) - 1
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    # ordered shingles — winnowing is positional (shingles() dedups)
+    sh = F.when(
+        n < shingle_k, F.array(F.concat_ws(" ", words))
+    ).otherwise(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_k))
+        )
+    )
+    hashes = F.transform(sh, lambda s: hash_fn(s).bitwiseAND(F.lit(max63)))
+    m = F.size(hashes)
+    widx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
+    fps = F.array_distinct(
+        F.when(m < window, F.array(F.array_min(hashes))).otherwise(
+            F.transform(
+                widx, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    ).distinct()
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -411,3 +411,28 @@ def test_bucket_structs_sql_float_roundtrip(spark):
                     bucket += 1 << b
             expect.add((i, t, bucket))
     assert got == expect
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: documents sharing a word run of length
+    # >= shingle_k + window - 1 share at least one fingerprint; documents
+    # with no shared shingles share none
+    from pheknowlator_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-word shared run
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"completely other prefix {shared} different ending"),
+        (3, "nothing in common with either of those documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, shingle_k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # short doc (< window shingles) still fingerprints
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    assert winnow_fingerprints(short).count() == 1
