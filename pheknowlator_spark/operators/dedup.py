@@ -41,12 +41,20 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 
     One ``min_by`` hash aggregation (map-side partial combine: a single
     candidate row per fingerprint per partition crosses the shuffle) —
-    no row_number window sort.
+    no row_number window sort. The ordering key is a ``(id IS NULL, id)``
+    struct rather than the bare id: ``min_by`` DROPS rows whose ordering
+    value is NULL, so a fingerprint group whose ids are all NULL would
+    otherwise yield an all-NULL row instead of a real one. With the
+    struct, non-null ids win (min id), and an all-null-id group still
+    keeps one of its real rows.
     """
     row = F.struct(*[F.col(c).alias(c) for c in docs.columns])
+    order = F.struct(
+        F.col(id_col).isNull().alias("is_null"), F.col(id_col).alias("id")
+    )
     return (
         docs.groupBy(fingerprint64(F.col(text_col)).alias("__fp"))
-        .agg(F.min_by(row, F.col(id_col)).alias("__w"))
+        .agg(F.min_by(row, order).alias("__w"))
         .select("__w.*")
     )
 

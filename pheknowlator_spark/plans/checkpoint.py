@@ -14,6 +14,12 @@ format-agnostic).
 Lineage: one row per (stage, partition_id) with input/output row counts and
 wall time, written next to the stage data — mirrors SURVEY §3.4's
 ``lineage(stage, partition_id, input_rows, output_rows, wall_ms, ts)``.
+``partition_id`` is the stage's sorted-file index (file enumeration order),
+NOT a writer partition id: for stages written with ``partition_by`` the
+files live under key directories, so the index enumerates files across all
+key directories and rows-per-file, not rows-per-writer-partition, is the
+recorded quantity. The ``file`` column carries each row's relative path so
+the mapping is explicit and auditable.
 """
 
 from __future__ import annotations
@@ -27,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "stage string, partition_id int, output_rows long, wall_ms long, ts timestamp"
+    "stage string, partition_id int, file string, output_rows long, "
+    "wall_ms long, ts timestamp"
 )
 
 
@@ -102,6 +109,14 @@ class StageStore:
         IO; Iceberg's manifest row counts are the production analog of
         this footer read). Non-parquet formats fall back to a Spark
         count-by-partition pass.
+
+        Bound: the listing + footer pass is a SERIAL driver loop — fine at
+        the per-stage file counts this store produces (10^1-10^3), but at
+        10^5-10^6 files per stage it becomes minutes of driver time; the
+        ``format='iceberg'`` swap reads the same counts from manifests
+        instead, and a parquet deployment at that file count should
+        parallelize the listing (e.g. ``spark.read.parquet`` over
+        ``_metadata`` or a thread pool) before leaning on this loop.
         """
         rows = None
         if self.format == "parquet":
@@ -115,7 +130,8 @@ class StageStore:
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 )
                 rows = [
-                    (pid, pq.ParquetFile(f).metadata.num_rows)
+                    (pid, os.path.relpath(f, data_dir),
+                     pq.ParquetFile(f).metadata.num_rows)
                     for pid, f in enumerate(files)
                 ]
             except Exception:
@@ -123,16 +139,17 @@ class StageStore:
         if rows is None:
             df = self.spark.read.format(self.format).load(data_dir)
             rows = [
-                (r["__pid"], r["output_rows"])
+                (r["__pid"], None, r["output_rows"])
                 for r in df.withColumn("__pid", F.spark_partition_id())
                 .groupBy("__pid")
                 .agg(F.count(F.lit(1)).alias("output_rows"))
                 .collect()
             ]
         per_part = self.spark.createDataFrame(
-            [(stage, int(pid), int(n), int(wall_ms)) for pid, n in rows]
-            or [(stage, 0, 0, int(wall_ms))],
-            "stage string, partition_id int, output_rows long, wall_ms long",
+            [(stage, int(pid), fp, int(n), int(wall_ms)) for pid, fp, n in rows]
+            or [(stage, 0, None, 0, int(wall_ms))],
+            "stage string, partition_id int, file string, output_rows long, "
+            "wall_ms long",
         ).withColumn("ts", F.current_timestamp())
         per_part.write.mode("overwrite").parquet(self._lineage_dir(stage))
 

@@ -74,7 +74,7 @@ def expected_subclass_core(n1: str, n2: str, rel: str, inv: str | None) -> list:
     return out
 
 
-def augmented_two_sided_case(spark) -> dict:
+def augmented_two_sided_case(spark) -> "tuple[dict, set]":
     """Non-vacuous two-sided-map parity: the reference fixture emits ZERO
     chemical-disease edges (tests/data/Master_Edge_List_Dict.json), so the
     stock P/R row only proves both pipelines discard everything. This case

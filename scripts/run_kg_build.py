@@ -360,11 +360,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    # conditionally-required args: fail fast with a usage message instead
+    # of a mid-build TypeError/AttributeError on a None path
     if args.kg == "post-closure" and not args.closed:
-        raise SystemExit("--closed is required for --kg post-closure")
+        parser.error("--closed is required for --kg post-closure")
     if args.kg != "post-closure" and not args.onts:
-        raise SystemExit("--onts is required for partial/full builds")
+        parser.error("--onts is required for partial/full builds")
+    if args.rel and not args.rel_data:
+        parser.error("--rel yes requires --rel-data")
     run(args)
 
 
