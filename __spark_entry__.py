@@ -571,6 +571,20 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing consumer: shared-fingerprint candidate pairs with the
+    per-pair MOSS match score (shared selected-fingerprint count), hot
+    fingerprints dropped by document frequency (max_df=3 — the common-code
+    elimination guard that also bounds the bucket join at scale)."""
+    from pheknowlator_spark.operators.dedup import md5_hash64, winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_pairs(
+        docs, shingle_k=3, window=4, min_matches=2, max_df=3,
+        hash_fn=md5_hash64,
+    )
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means trainer under the oracle gate: 2
     iterations from the deterministic first-8-by-id init, centroids
@@ -1170,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_pairs": q_winnow_pairs,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -1552,6 +1567,36 @@ def _simhash_oracle_sql(max_hamming: int = 6, shingle_k: int = 2) -> str:
         FROM sim x JOIN sim y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.sim, y.sim)) <= {max_hamming}
     """
+
+
+# shared winnowing-fingerprint derivation (used by both winnow oracles):
+# ordered 3-gram md5 hashes (63-bit masked), window-of-4 minima, distinct
+_WINNOW_FPS_CTE = r"""w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents WHERE doc_id < 300
+            ), sh AS (
+              SELECT doc_id, CASE WHEN len(words) < 3
+                THEN [array_to_string(words, ' ')]
+                ELSE [array_to_string(words[i:i+2], ' ')
+                      for i in range(1, len(words) - 3 + 2)]
+                END AS sh
+              FROM w
+            ), hs AS (
+              SELECT doc_id, list_transform(sh, s ->
+                CAST(CAST('0x'||substring(md5(s),1,16) AS UBIGINT)
+                     & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
+              FROM sh
+            ), fp AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(hs) < 4
+                THEN [list_min(hs)]
+                ELSE [list_min(hs[i:i+3])
+                      for i in range(1, len(hs) - 4 + 2)]
+                END) AS fps
+              FROM hs
+            ), fps AS (
+              SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1965,32 +2010,27 @@ def oracle_sql() -> dict[str, str]:
         # winnowing re-derivation: ordered 3-gram md5 hashes (63-bit
         # masked so unsigned/signed min orderings agree), window-of-4
         # minima, distinct
-        "winnow_fingerprint": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
-              FROM documents WHERE doc_id < 300
-            ), sh AS (
-              SELECT doc_id, CASE WHEN len(words) < 3
-                THEN [array_to_string(words, ' ')]
-                ELSE [array_to_string(words[i:i+2], ' ')
-                      for i in range(1, len(words) - 3 + 2)]
-                END AS sh
-              FROM w
-            ), hs AS (
-              SELECT doc_id, list_transform(sh, s ->
-                CAST(CAST('0x'||substring(md5(s),1,16) AS UBIGINT)
-                     & CAST(9223372036854775807 AS UBIGINT) AS BIGINT)) AS hs
-              FROM sh
-            ), fp AS (
-              SELECT doc_id, list_distinct(CASE WHEN len(hs) < 4
-                THEN [list_min(hs)]
-                ELSE [list_min(hs[i:i+3])
-                      for i in range(1, len(hs) - 4 + 2)]
-                END) AS fps
-              FROM hs
+        "winnow_fingerprint": f"""
+            WITH {_WINNOW_FPS_CTE}
+            SELECT doc_id, fingerprint FROM fps
+        """,
+        # winnowing consumer: same fingerprint derivation, then drop
+        # fingerprints in >3 documents (common-code elimination), self-join
+        # on fingerprint, count shared fingerprints per (a, b) pair
+        "winnow_pairs": f"""
+            WITH {_WINNOW_FPS_CTE},
+            kept AS (
+              SELECT fingerprint FROM fps
+              GROUP BY fingerprint HAVING count(*) <= 3
             )
-            SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   count(*) AS shared_fingerprints
+            FROM fps x
+            JOIN kept k ON x.fingerprint = k.fingerprint
+            JOIN fps y ON x.fingerprint = y.fingerprint
+                      AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING count(*) >= 2
         """,
         # exact all-pairs cosine over corpus + synthesized twins — the
         # LSH-bucketed near-dup output must equal this set

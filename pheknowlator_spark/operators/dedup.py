@@ -362,6 +362,52 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+    min_matches: int = 2,
+    max_df: int | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """Localized near-dup candidate pairs from shared winnowing
+    fingerprints — the MOSS match score: ``[a, b, shared_fingerprints]``
+    with a < b, one row per document pair sharing ≥ ``min_matches``
+    selected fingerprints (each shared fingerprint witnesses a shared word
+    run of length ≥ shingle_k + window - 1, so the count localizes HOW MUCH
+    content overlaps, which MinHash's whole-document estimate cannot).
+
+    Scale path mirrors :func:`minhash_lsh_candidates`: the only corpus-
+    scale shuffles are keyed on ``fingerprint`` (bucket join) and the
+    (a, b) pair aggregation — never all-pairs. ``max_df`` is the hot-bucket
+    guard (MOSS's common-code elimination): a fingerprint present in more
+    than ``max_df`` documents is boilerplate, not copy signal, and would
+    contribute O(df²) pair rows — drop it before pairing. At 10^12 docs
+    set it to a small constant (MOSS uses ~10); leaving it None is only
+    safe on corpora known to lack ubiquitous runs.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, shingle_k, window, hash_fn)
+    if max_df is not None:
+        kept = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(kept, "fingerprint")
+    a = fps.select("fingerprint", F.col(id_col).alias("a"))
+    b = fps.select("fingerprint", F.col(id_col).alias("b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_matches)
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -436,3 +436,48 @@ def test_winnow_shared_run_guarantee(spark):
     # short doc (< window shingles) still fingerprints
     short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     assert winnow_fingerprints(short).count() == 1
+
+
+def test_winnow_pairs_match_score_and_max_df(spark):
+    """winnow_pairs: per-pair shared-fingerprint count (MOSS match score),
+    min_matches threshold, and the max_df common-code guard."""
+    from pheknowlator_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    run_b = "one two three four five six seven"
+    boiler = "all rights reserved contact us for terms"
+    rows = [
+        (1, f"{run_a} filler txt {boiler}"),
+        (2, f"prefix words {run_a} other tail {boiler}"),
+        (3, f"{run_b} and then some unrelated content {boiler}"),
+        (4, f"start {run_b} finish line {boiler}"),
+        (5, f"totally disjoint vocabulary sentence about nothing {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.a, r.b): r.shared_fingerprints
+        for r in winnow_pairs(df, min_matches=1, max_df=2).collect()
+    }
+    # the long shared runs pair up; cross-run pairs exist only via the
+    # boilerplate, which max_df=2 (present in all 5 docs) eliminates
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert not any(a == 5 or b == 5 for a, b in pairs)
+    # match score equals the exact shared-fingerprint count
+    fps = winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    hot = {f for f in set.union(*by_doc.values())
+           if sum(f in s for s in by_doc.values()) > 2}
+    assert pairs[(1, 2)] == len((by_doc[1] & by_doc[2]) - hot)
+    # min_matches filters low-overlap pairs
+    thresh = winnow_pairs(df, min_matches=pairs[(1, 2)] + 1, max_df=2)
+    assert (1, 2) not in {(r.a, r.b) for r in thresh.collect()}
+    # without the guard, boilerplate joins everything to everything
+    no_guard = winnow_pairs(df, min_matches=1, max_df=None)
+    assert any(a == 5 or b == 5 for a, b in
+               {(r.a, r.b) for r in no_guard.collect()})
