@@ -113,6 +113,78 @@ def incremental_triples(
     )
 
 
+def incremental_build(
+    spark: SparkSession,
+    store,
+    pages_path: str,
+    entity_dictionary: DataFrame,
+    checkpoint_dir: str,
+    min_pages: int = 1,
+    stage_prefix: str = "incr_triples",
+    **pipeline_kwargs,
+) -> list[str]:
+    """End-to-end incremental KG rebuild: stream the pages directory and
+    commit each micro-batch's triples as a ``StageStore`` stage.
+
+    The Spark file-source checkpoint (``checkpoint_dir``) tracks which page
+    files have been processed, so a re-run after new files land does
+    DELTA-ONLY scan work — the sandbox analog of Iceberg incremental scans
+    (SURVEY §2.11); the StageStore commit makes each batch's triples
+    resumable/auditable via per-stage lineage rows. Returns the stage names
+    committed by THIS call (empty when nothing new landed).
+
+    With ``min_pages=1`` the per-batch pipeline is page-local (co-mention
+    pairs never cross pages), so the distinct union of all committed batch
+    stages (:func:`incremental_result`) equals a from-scratch rebuild over
+    the full pages table — asserted in ``tests/test_incremental_build.py``.
+    Corpus-frequency scoring (``min_pages > 1``) stays a batch-pass
+    concern: re-score over :func:`incremental_result`'s inputs nightly.
+    """
+    from pheknowlator_spark.webtext.pipeline import run_pipeline
+
+    committed: list[str] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"{stage_prefix}_{batch_id:06d}"
+        store.run(
+            stage,
+            lambda: run_pipeline(
+                batch_df, entity_dictionary, min_pages=min_pages,
+                **pipeline_kwargs,
+            )["triples"],
+        )
+        committed.append(stage)
+
+    stream = stream_events_from_parquet(spark, pages_path)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return committed
+
+
+def incremental_result(
+    spark: SparkSession, store, stage_prefix: str = "incr_triples"
+) -> DataFrame:
+    """Distinct union of every committed incremental triple stage — the
+    current materialized KG. Reads committed snapshots only (resume path;
+    no recompute)."""
+    stages = [
+        s for s in store.manifest()["stages"] if s.startswith(stage_prefix)
+    ]
+    if not stages:
+        raise ValueError(f"no committed '{stage_prefix}_*' stages in {store.root}")
+    out = None
+    for s in stages:
+        df = store.run(s, lambda: (_ for _ in ()).throw(
+            RuntimeError(f"stage {s} vanished mid-read")))
+        out = df if out is None else out.unionByName(df)
+    return out.distinct()
+
+
 def streaming_dedup(
     docs_stream: DataFrame,
     id_col: str = "doc_id",
