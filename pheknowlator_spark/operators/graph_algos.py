@@ -71,6 +71,9 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    state_store=None,
+    stage_prefix: str = "cc",
+    on_round=None,
 ) -> DataFrame:
     """Min-label-propagation connected components over an undirected edge set.
 
@@ -82,6 +85,17 @@ def connected_components(
     grouped min-neighbor joins; converges in O(log d) rounds on real graphs.
     Per-round cost: one shuffle join + one groupBy — both hash-partitioned
     on node, so at 10^12 scale rounds reuse the same partitioning.
+
+    Restart safety: pass a ``plans.checkpoint.StageStore`` as
+    ``state_store`` and each round's label table commits as stage
+    ``{stage_prefix}_round_NNNN``; a rerun after a mid-iteration crash
+    resumes from the last committed round (edges are re-derived — they are
+    input, not state — and every round is a deterministic function of the
+    previous labels, so the resumed result is identical; asserted by
+    ``tests/test_misc_ops.py``'s kill/resume test). Leave it None for the
+    in-memory ``localCheckpoint``/reliable-``checkpoint`` lineage cuts
+    only. ``on_round(it)`` is a post-commit hook (fault injection in
+    tests).
     """
     # undirected symmetric closure, self-labels
     e = (
@@ -98,7 +112,17 @@ def connected_components(
     sym = _cut_lineage(sym)
     labels = _cut_lineage(labels)
 
-    for it in range(max_iterations):
+    start_it = 0
+    if state_store is not None:
+        done = sorted(
+            s for s in state_store.manifest()["stages"]
+            if s.startswith(f"{stage_prefix}_round_")
+        )
+        if done:
+            labels = state_store.run(done[-1], lambda: labels)
+            start_it = int(done[-1].rsplit("_", 1)[-1]) + 1
+
+    for it in range(start_it, max_iterations):
         # candidate label per node = min(own, min over neighbors' labels)
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -134,6 +158,10 @@ def connected_components(
         )
         if checkpoint_every and (it % checkpoint_every == 0):
             jumped = _cut_lineage(jumped)
+        if state_store is not None:
+            jumped = state_store.run(
+                f"{stage_prefix}_round_{it:04d}", lambda j=jumped: j
+            )
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
@@ -142,6 +170,8 @@ def connected_components(
             .count()
         )
         labels = jumped
+        if on_round is not None:
+            on_round(it)
         if changed == 0:
             break
     return labels

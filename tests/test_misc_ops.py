@@ -311,3 +311,61 @@ def test_reliable_checkpoints_toggle(spark, tmp_path):
         ctx = {(r.node, r.component) for r in connected_components(edges).collect()}
     assert spark.conf.get(_RELIABLE_CONF) == "false"
     assert ctx == base
+
+
+def test_connected_components_kill_resume(spark, tmp_path):
+    """Mid-iteration failure injection (SURVEY §7.4 executor-loss story,
+    driver edition): kill CC after round k's label commit, resume from the
+    StageStore, assert label-table equality with an uninterrupted run and
+    that the resumed run re-executed nothing before round k+1."""
+    import pytest
+
+    from pheknowlator_spark.operators.graph_algos import connected_components
+    from pheknowlator_spark.plans.checkpoint import StageStore
+
+    # a 24-node path needs several pointer-jumping rounds — the kill at
+    # round 1 lands strictly mid-convergence
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(23)]
+    edges = spark.createDataFrame(
+        chain + [("zz1", "zz2")], "src string, dst string"
+    )
+    fresh = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+
+    store = StageStore(spark, str(tmp_path / "cc_state"))
+
+    class Boom(RuntimeError):
+        pass
+
+    def killer(it):
+        if it == 1:
+            raise Boom("simulated driver loss after round 1 commit")
+
+    with pytest.raises(Boom):
+        connected_components(edges, state_store=store, on_round=killer)
+    committed = store.manifest()["stages"]
+    assert committed == ["cc_round_0000", "cc_round_0001"]
+    # the interrupted state is NOT yet converged
+    partial = {
+        (r.node, r.component)
+        for r in store.run("cc_round_0001", lambda: None).collect()
+    }
+    assert partial != fresh
+
+    ts_before = {
+        (r.stage, r.ts)
+        for r in store.lineage().select("stage", "ts").collect()
+    }
+    resumed = connected_components(edges, state_store=store)
+    got = {(r.node, r.component) for r in resumed.collect()}
+    assert got == fresh
+    # rounds 0-1 were resumed from their committed snapshots, not rebuilt:
+    # their lineage rows (commit timestamps) are untouched
+    ts_after = {
+        (r.stage, r.ts)
+        for r in store.lineage().select("stage", "ts").collect()
+        if r.stage in committed
+    }
+    assert ts_after == {t for t in ts_before if t[0] in committed}
+    assert len(store.manifest()["stages"]) > 2  # resume added rounds
