@@ -52,6 +52,8 @@ HEADLINE = [
     "lsh_topk",
     "simhash_near_dup",
     "owlnets_decode",
+    # round 5: winnowing consumer (shared-fingerprint pairing)
+    "winnow_pairs",
 ]
 
 
@@ -74,18 +76,19 @@ PAGES_DIR = os.environ.get(
 SCALE_CONF: dict[str, str] = {}
 
 
-def stage_pages(n_pages: int) -> None:
+def stage_pages(n_pages: int, out_dir: str = None, files: int = STAGE_FILES) -> None:
     """Untimed setup: materialize the synthetic pages table to parquet —
     the timed job reads it like the production Iceberg pages table (keeps
     exactly one Python crossing in the measured path)."""
-    if os.path.exists(os.path.join(PAGES_DIR, "_SUCCESS")):
+    out_dir = out_dir or PAGES_DIR
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return
     from pheknowlator_spark.sources.pages import generate_pages
 
     spark = get_spark(app_name="bench_setup", master=f"local[{CPUS}]")
-    generate_pages(spark, n_pages, partitions=STAGE_FILES, size_factor=5).write.mode(
+    generate_pages(spark, n_pages, partitions=files, size_factor=5).write.mode(
         "overwrite"
-    ).parquet(PAGES_DIR)
+    ).parquet(out_dir)
     spark.stop()
 
 
@@ -133,6 +136,139 @@ def run_skewed_scan_job(spark) -> None:
     force(_PLAN_CACHE[key])
 
 
+# --- salted-join skew measurement (SURVEY §7.4 risk 5) ---------------------
+# The hot-entity linking join + per-entity rollup: mention facts whose
+# `curie` key is skewed (one entity on ~20% of rows — the "cancer appears
+# in a fifth of the crawl" case) joined to a per-entity dimension that is
+# stipulated too big to broadcast (both broadcast paths disabled, as they
+# would be at dim sizes of 10^8+ canonical entities), then aggregated BY
+# THE SAME KEY (per-entity mention rollup — the shape linking output
+# actually feeds). This is the documented case AQE cannot rescue even
+# fully enabled: splitting the skewed join partition would break the
+# aggregation's required hash distribution (an extra shuffle), which
+# OptimizeSkewedJoin refuses by default (forceOptimizeSkewedJoin=false) —
+# so the hot key's entire fact set sorts+joins+aggregates in ONE task,
+# while AQE coalescing caps every other task at ~64 MB. `salted_join`
+# sprays the hot key over S tasks and the same-key agg becomes the
+# classic two-phase skew agg: per-salt partial rollups, then a tiny
+# final shuffle of 50k partials. All engine configs stay at the
+# production defaults (AQE on, skew-join on) except the two broadcast
+# thresholds that encode the scenario's dim size.
+SALT_FACTS = int(os.environ.get("SPARK_GRAFT_SALT_FACTS", "32000000"))
+SALT_HOT_PCT = 20
+SALT_DIM_KEYS = 50_000
+SALT_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_SALT_DIR", f"/tmp/pkt_bench_salted_{SALT_FACTS}"
+)
+SALT_CONF = {
+    # scenario: dim too large to broadcast (static AND AQE runtime paths)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def stage_salted_facts() -> None:
+    """Untimed setup: mention-fact and entity-dim parquet, deterministic
+    from row index (xxhash64), hot key on ~SALT_HOT_PCT% of facts."""
+    if os.path.exists(os.path.join(SALT_DIR, "dim", "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench_setup_salt", master=f"local[{CPUS}]")
+    facts = spark.range(0, SALT_FACTS, 1, STAGE_FILES).select(
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(100)) < SALT_HOT_PCT,
+            F.lit("DOID_162"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("C_"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(SALT_DIM_KEYS)).cast(
+                    "string"
+                ),
+            )
+        )
+        .alias("curie"),
+        F.col("id").alias("mention_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    facts.write.mode("overwrite").parquet(os.path.join(SALT_DIR, "facts"))
+    dim = (
+        spark.range(SALT_DIM_KEYS)
+        .select(
+            F.concat(F.lit("C_"), F.col("id").cast("string")).alias("curie"),
+            F.md5(F.concat(F.lit("canon:"), F.col("id").cast("string"))).alias(
+                "canonical"
+            ),
+            F.md5(F.concat(F.lit("lbl:"), F.col("id").cast("string"))).alias(
+                "label"
+            ),
+        )
+        .union(
+            spark.range(1).select(
+                F.lit("DOID_162").alias("curie"),
+                F.lit("DOID_162").alias("canonical"),
+                F.lit("cancer").alias("label"),
+            )
+        )
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(SALT_DIR, "dim"))
+    spark.stop()
+
+
+def _salted_job(salted: bool):
+    def job(spark) -> None:
+        key = (id(spark), "salt", salted)
+        if key not in _PLAN_CACHE:
+            from pyspark.sql import functions as F
+
+            from pheknowlator_spark.webtext.linking import salted_join
+
+            facts = spark.read.parquet(os.path.join(SALT_DIR, "facts"))
+            dim = spark.read.parquet(os.path.join(SALT_DIR, "dim"))
+            if salted:
+                j = salted_join(facts, dim, "curie", salts=16)
+            else:
+                j = facts.join(dim, "curie")
+            # per-entity rollup on the join key: the skew-hostile shape
+            # (see block comment above). Salted, this is automatically a
+            # two-phase agg: per-task partials over ≤50k keys, tiny final
+            # shuffle; unsalted, it pins the hot key to one task.
+            rolled = j.groupBy("curie").agg(
+                F.count(F.lit(1)).alias("mentions"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+                F.max("canonical").alias("canonical"),
+            )
+            _PLAN_CACHE.clear()
+            _PLAN_CACHE[key] = rolled
+        force(_PLAN_CACHE[key])
+
+    return job
+
+
+# --- sf1.0: one order of magnitude up (~960k pages ≈ 1.2 GB html) ----------
+# Everything else in this file is sf0.1-sized (96k pages), small enough that
+# shuffle spill, AQE skew splitting, and memory pressure never activate. The
+# sf1 block runs the SAME pipeline + scan jobs on 10× the corpus at 8 vs 32
+# cores: (a) both scaling efficiencies must still clear the north rule's
+# 0.8, and (b) the 8-core floors must stay ≤ 10× the 8-core sf0.1 floors
+# (the main scaling block's cores_4n side) — super-linear growth would mean
+# some stage stopped scaling linearly in the data.
+SF1_PAGES = int(os.environ.get("SPARK_GRAFT_SF1_PAGES", "960000"))
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_SF1_DIR", f"/tmp/pkt_bench_pages_{SF1_PAGES}"
+)
+SF1_N = int(os.environ.get("SPARK_GRAFT_SF1_N", "8"))  # 8 vs 32 cores
+SF1_FILES = 320  # same ~4 MB file grain as the sf0.1 staging
+
+
+def _sf1_job(which: str):
+    def job(spark) -> None:
+        force(_built(spark, which, SF1_DIR))
+
+    return job
+
+
 def _dir_bytes(path: str) -> int:
     return sum(
         os.path.getsize(os.path.join(r, f))
@@ -147,14 +283,15 @@ def _dir_bytes(path: str) -> int:
 _PLAN_CACHE: dict = {}
 
 
-def _built(spark, which: str):
-    key = (id(spark), which)
+def _built(spark, which: str, pages_dir: str = None):
+    pages_dir = pages_dir or PAGES_DIR
+    key = (id(spark), which, pages_dir)
     if key not in _PLAN_CACHE:
         from pheknowlator_spark.sources.pages import entity_dictionary
         from pheknowlator_spark.webtext.mentions import extract_and_detect
         from pheknowlator_spark.webtext.pipeline import run_pipeline
 
-        pages = spark.read.parquet(PAGES_DIR)
+        pages = spark.read.parquet(pages_dir)
         ed = entity_dictionary(spark)
         if which == "pipeline":
             df = run_pipeline(
@@ -242,6 +379,42 @@ def _scaled_pair(
     t2f, r2f = _timed(full, reps, job)
     t_full = min(t_full, t2f)
     reps_f += r2f
+    for _ in range(2):
+        eff_now = (t_quarter / t_full) / (full / quarter)
+        if 0.8 <= eff_now <= 1.1:
+            break
+        spread_q = max(reps_q) / max(min(reps_q), 0.001)
+        spread_f = max(reps_f) / max(min(reps_f), 0.001)
+        if max(spread_q, spread_f) < 1.4:
+            break  # measurements are stable — the number is the number
+        suspect = "full" if eff_now < 0.8 else "quarter"
+        if suspect == "full" and spread_f < spread_q:
+            suspect = "quarter"
+        elif suspect == "quarter" and spread_q < spread_f:
+            suspect = "full"
+        if suspect == "full":
+            t2, r2 = _timed(full, reps, job)
+            reps_f += r2
+            t_full = min(t_full, t2)
+        else:
+            t2, r2 = _timed(quarter, reps, job)
+            reps_q += r2
+            t_quarter = min(t_quarter, t2)
+    return t_quarter, t_full, reps_q, reps_f
+
+
+def _scaled_pair_light(
+    job, quarter: int, full: int, reps: int
+) -> tuple[float, float, list, list]:
+    """Single-window-per-side scaled pair for LONG jobs (the sf1 block:
+    ~2 min/rep at 8 cores). Long windows amortize storms far better than
+    the 12 s sf0.1 windows that forced `_scaled_pair`'s interleaving, so
+    one window per side + the same implausibility/spread retry loop is the
+    right cost/rigor point here — a second mandatory window per side would
+    add ~10 min of wall time per job for noise the retry loop already
+    catches."""
+    t_quarter, reps_q = _timed(quarter, reps, job)
+    t_full, reps_f = _timed(full, reps, job)
     for _ in range(2):
         eff_now = (t_quarter / t_full) / (full / quarter)
         if 0.8 <= eff_now <= 1.1:
@@ -381,6 +554,105 @@ def main() -> None:
     t2f, _r4 = _timed(full, skew_reps, run_skewed_scan_job, extra_conf=fine_conf)
     t_skew_fine = min(t_skew_fine, t2f)
 
+    # salted-join skew measurement at TWO widths: the unsalted straggler
+    # penalty grows with cluster width (the hot key owns hot_pct of the
+    # work no matter how many cores exist, while the ideal per-core share
+    # shrinks as 1/cores) — at 8 cores the bound is 20%/12.5% ≈ 1.6× and
+    # salt overhead roughly cancels it; at 32 cores it is 20%/3.1% ≈ 6.4×
+    # and salting wins outright. Extrapolated to 1000 executors, the
+    # unsalted plan is straggler-bound at hot_pct of the cluster's work.
+    # Interleaved best-of-2 per (variant, width).
+    stage_salted_facts()
+    salt_reps = int(os.environ.get("SPARK_GRAFT_SALT_REPS", "2"))
+    salt_block: dict = {
+        "facts": SALT_FACTS,
+        "hot_pct": SALT_HOT_PCT,
+        "dim_keys": SALT_DIM_KEYS + 1,
+        "salts": 16,
+    }
+    for cores in (full, CPUS):
+        t_unsalted, salt_ru = _timed(
+            cores, salt_reps, _salted_job(False), extra_conf=SALT_CONF
+        )
+        t_salted, salt_rs = _timed(
+            cores, salt_reps, _salted_job(True), extra_conf=SALT_CONF
+        )
+        t2u, r2u = _timed(
+            cores, salt_reps, _salted_job(False), extra_conf=SALT_CONF
+        )
+        t_unsalted = min(t_unsalted, t2u)
+        salt_ru += r2u
+        t2s, r2s = _timed(
+            cores, salt_reps, _salted_job(True), extra_conf=SALT_CONF
+        )
+        t_salted = min(t_salted, t2s)
+        salt_rs += r2s
+        salt_block[f"cores_{cores}"] = {
+            "sec_unsalted": round(t_unsalted, 3),
+            "sec_salted": round(t_salted, 3),
+            "salted_speedup": round(t_unsalted / t_salted, 3),
+            "rep_times_unsalted": salt_ru,
+            "rep_times_salted": salt_rs,
+        }
+
+    # sf1.0: the same pipeline + scan scaling pair on a 10× corpus
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        stage_pages(SF1_PAGES, SF1_DIR, SF1_FILES)
+        sf1_reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "1"))
+        sf1_q, sf1_f = SF1_N, 4 * SF1_N
+        p_n, p_4n, p_rq, p_rf = _scaled_pair_light(
+            _sf1_job("pipeline"), sf1_q, sf1_f, sf1_reps
+        )
+        s_n, s_4n, s_rq, s_rf = _scaled_pair_light(
+            _sf1_job("scan"), sf1_q, sf1_f, sf1_reps
+        )
+        # same containment repair as the sf0.1 pair: the pipeline CONTAINS
+        # the scan stage, so scan floor > pipeline floor is storm pollution
+        for _ in range(2):
+            fixed = True
+            if s_n > p_n:
+                t2, r2 = _timed(sf1_q, sf1_reps, _sf1_job("scan"))
+                s_n = min(s_n, t2)
+                s_rq += r2
+                fixed = False
+            if s_4n > p_4n:
+                t2, r2 = _timed(sf1_f, sf1_reps, _sf1_job("scan"))
+                s_4n = min(s_4n, t2)
+                s_rf += r2
+                fixed = False
+            if fixed:
+                break
+        data_ratio = SF1_PAGES / N_PAGES
+        sf1_block = {
+            "sf": 1.0,
+            "pages": SF1_PAGES,
+            "scaling": {
+                "cores_n": sf1_q,
+                "cores_4n": sf1_f,
+                "sec_n": round(p_n, 3),
+                "sec_4n": round(p_4n, 3),
+                "efficiency_n_to_4n": round((p_n / p_4n) / (sf1_f / sf1_q), 3),
+                "scan_stage_sec_n": round(s_n, 3),
+                "scan_stage_sec_4n": round(s_4n, 3),
+                "scan_stage_efficiency_n_to_4n": round(
+                    (s_n / s_4n) / (sf1_f / sf1_q), 3
+                ),
+                "rep_times_n": p_rq,
+                "rep_times_4n": p_rf,
+                "scan_rep_times_n": s_rq,
+                "scan_rep_times_4n": s_rf,
+            },
+            "pages_per_hour_4n": round(SF1_PAGES / p_4n * 3600),
+            # data grew `data_ratio`×; same-core (8c) time growth must be
+            # ≤ that ratio, or a stage stopped scaling linearly in the data
+            "linearity_vs_sf0_1": {
+                "data_ratio": data_ratio,
+                "pipeline_time_ratio_8c": round(p_n / t_full, 2),
+                "scan_time_ratio_8c": round(s_n / scan_full, 2),
+            },
+        }
+
     print(
         json.dumps(
             {
@@ -418,6 +690,8 @@ def main() -> None:
                         t_skew_default / t_skew_fine, 3
                     ),
                 },
+                "scaling_salted": salt_block,
+                **({"sf1": sf1_block} if sf1_block else {}),
             }
         )
     )

@@ -336,28 +336,44 @@ def winnow_fingerprints(
     if hash_fn is None:
         hash_fn = F.xxhash64
     max63 = (1 << 63) - 1
+    # Each stage is materialized as a REAL column in its own projection.
+    # Embedding the whole chain in one expression tree duplicates the
+    # hash-array subtree inside every window reference, and higher-order
+    # lambdas are interpreted without common-subexpression elimination —
+    # the shingle hashes would be re-computed per window slot, turning an
+    # O(n·w) selection into O(n²) hash work per document (measured 17 s →
+    # 0.6 s on 300 sf0.01 docs).
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
+    d = docs.select(F.col(id_col), words.alias("__words"))
+    w = F.col("__words")
+    n = F.size(w)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
     # ordered shingles — winnowing is positional (shingles() dedups)
     sh = F.when(
-        n < shingle_k, F.array(F.concat_ws(" ", words))
+        n < shingle_k, F.array(F.concat_ws(" ", w))
     ).otherwise(
         F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_k))
+            idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, shingle_k))
         )
     )
-    hashes = F.transform(sh, lambda s: hash_fn(s).bitwiseAND(F.lit(max63)))
-    m = F.size(hashes)
+    d = d.select(F.col(id_col), sh.alias("__sh"))
+    d = d.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__sh"), lambda s: hash_fn(s).bitwiseAND(F.lit(max63))
+        ).alias("__h"),
+    )
+    h = F.col("__h")
+    m = F.size(h)
     widx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
     fps = F.array_distinct(
-        F.when(m < window, F.array(F.array_min(hashes))).otherwise(
+        F.when(m < window, F.array(F.array_min(h))).otherwise(
             F.transform(
-                widx, lambda i: F.array_min(F.slice(hashes, i + 1, window))
+                widx, lambda i: F.array_min(F.slice(h, i + 1, window))
             )
         )
     )
-    return docs.select(
+    return d.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     ).distinct()
 

@@ -110,17 +110,17 @@ class StageStore:
         this footer read). Non-parquet formats fall back to a Spark
         count-by-partition pass.
 
-        Bound: the listing + footer pass is a SERIAL driver loop — fine at
-        the per-stage file counts this store produces (10^1-10^3), but at
-        10^5-10^6 files per stage it becomes minutes of driver time; the
-        ``format='iceberg'`` swap reads the same counts from manifests
-        instead, and a parquet deployment at that file count should
-        parallelize the listing (e.g. ``spark.read.parquet`` over
-        ``_metadata`` or a thread pool) before leaning on this loop.
+        Bound: the walk is a serial driver listing but the footer reads
+        run on a thread pool (IO-bound metadata fetches) — fine at the
+        per-stage file counts this store produces (10^1-10^3) and tolerable
+        to ~10^5; past that, the ``format='iceberg'`` swap reads the same
+        counts from manifests instead of touching data files at all.
         """
         rows = None
         if self.format == "parquet":
             try:
+                from concurrent.futures import ThreadPoolExecutor
+
                 import pyarrow.parquet as pq
 
                 files = sorted(
@@ -129,10 +129,15 @@ class StageStore:
                     for f in fs
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 )
+
+                def _num_rows(f: str) -> int:
+                    return pq.ParquetFile(f).metadata.num_rows
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    counts = list(pool.map(_num_rows, files))
                 rows = [
-                    (pid, os.path.relpath(f, data_dir),
-                     pq.ParquetFile(f).metadata.num_rows)
-                    for pid, f in enumerate(files)
+                    (pid, os.path.relpath(f, data_dir), n)
+                    for pid, (f, n) in enumerate(zip(files, counts))
                 ]
             except Exception:
                 rows = None  # unreadable footer → Spark fallback below
