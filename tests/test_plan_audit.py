@@ -135,3 +135,21 @@ def test_partitioned_triples_partition_pruning(spark, tmp_path):
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "edge_type" in pf
     assert df.count() == 50
+
+
+def test_winnow_hash_computed_once_per_shingle(spark):
+    """Guard against projection re-inlining in winnow_fingerprints: the
+    shingle-hash array must be materialized as its own column so the hash
+    function appears exactly ONCE in the optimized plan. If CollapseProject
+    (or a refactor back to one nested expression) re-embeds the hash
+    subtree inside the per-window transform, the hash re-evaluates per
+    window slot — O(n²) hash work per document (measured 17 s → 1.5 s on
+    300 sf0.01 docs)."""
+    from pheknowlator_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    df = winnow_fingerprints(docs, shingle_k=3, window=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 1, plan
