@@ -585,6 +585,71 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Pairs → clusters → canonical id: connected components over the
+    exact n-gram Jaccard pair table (threshold 0.2), every doc mapped to
+    the min doc id of its component (singletons to themselves) — the
+    step that makes "keep exactly one per near-dup group" well-defined.
+    Oracle: the same pair predicate + a recursive-CTE reachability
+    closure + min per node, left-joined back over all doc ids."""
+    from pheknowlator_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return near_dup_clusters(docs, pairs.select("a", "b"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-word / top-2-gram /
+    duplicate-5-gram fractions) as pure Column math — zero shuffles,
+    whole-stage codegen."""
+    from pheknowlator_spark.functions.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    rep = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rep["top_word_frac"].alias("top_word_frac"),
+        rep["top_2gram_frac"].alias("top_2gram_frac"),
+        rep["dup_5gram_frac"].alias("dup_5gram_frac"),
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs 50-399 checked for 6-gram overlap
+    against a 50-doc 'benchmark suite' (docs 0-49); benchmark grams are
+    broadcast, corpus side is map-side explode + broadcast join +
+    partially-combined per-doc counts."""
+    from pheknowlator_spark.operators.corpus import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 400))
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check(corpus, bench, n=6)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling by language
+    (en 0.5, de 0.25, fr 0, others 0.125): the surviving set is a pure
+    function of doc_id — identical across runs, partitionings, and
+    cluster sizes — and bit-reproducible in ANSI SQL via the md5 bucket."""
+    from pheknowlator_spark.operators.corpus import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.0},
+        default_fraction=0.125,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means trainer under the oracle gate: 2
     iterations from the deterministic first-8-by-id init, centroids
@@ -1185,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_pairs": q_winnow_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "contamination_check": q_contamination_check,
+        "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -1597,6 +1666,18 @@ _WINNOW_FPS_CTE = r"""w AS (
             ), fps AS (
               SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp
             )"""
+
+
+def _dd_grams(k: int) -> str:
+    """DuckDB expression for the word k-gram multiset of lower(trim(text))
+    — mirrors ``functions.text.ngram_list`` (keep duplicates; wrap with
+    list_distinct(...) for ``shingles`` parity)."""
+    w = r"string_split_regex(lower(trim(text)), '\s+')"
+    return (
+        f"CASE WHEN len({w}) < {k} THEN [array_to_string({w}, ' ')] "
+        f"ELSE list_transform(range(1, len({w}) - {k} + 2), "
+        f"i -> array_to_string({w}[i:i+{k - 1}], ' ')) END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2031,6 +2112,82 @@ def oracle_sql() -> dict[str, str]:
                       AND x.doc_id < y.doc_id
             GROUP BY x.doc_id, y.doc_id
             HAVING count(*) >= 2
+        """,
+        # pairs → recursive reachability closure → min per node →
+        # singleton fill-in: the SQL re-derivation of min-label CC over
+        # the exact-Jaccard pair predicate
+        "near_dup_clusters": r"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                       THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                       ELSE list_transform(
+                         range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                         i -> array_to_string(
+                           string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+                     END) AS sh
+              FROM documents WHERE doc_id < 200),
+            p AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM d x JOIN d y ON x.doc_id < y.doc_id
+              WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                    greatest(len(list_distinct(x.sh || y.sh)), 1) >= 0.2),
+            sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+              SELECT a AS src, a AS dst FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+            comp AS (SELECT src AS node, min(dst) AS component
+                     FROM reach GROUP BY src)
+            SELECT doc.doc_id,
+                   coalesce(comp.component, doc.doc_id) AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) doc
+            LEFT JOIN comp ON doc.doc_id = comp.node
+        """,
+        # per-doc gram-frequency scans over the same word multisets
+        "repetition_stats": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     {_dd_grams(1)} AS w1,
+                     {_dd_grams(2)} AS b2,
+                     {_dd_grams(5)} AS g5
+              FROM documents)
+            SELECT doc_id,
+              CAST(list_max(list_transform(list_distinct(w1),
+                     u -> len(list_filter(w1, x -> x = u)))) AS DOUBLE)
+                / CAST(greatest(len(w1), 1) AS DOUBLE) AS top_word_frac,
+              CAST(list_max(list_transform(list_distinct(b2),
+                     u -> len(list_filter(b2, x -> x = u)))) AS DOUBLE)
+                / CAST(greatest(len(b2), 1) AS DOUBLE) AS top_2gram_frac,
+              CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE)
+                / CAST(greatest(len(g5), 1) AS DOUBLE) AS dup_5gram_frac
+            FROM g
+        """,
+        # distinct 6-gram sets on both sides, inner join, per-doc counts
+        "contamination_check": f"""
+            WITH dg AS (
+              SELECT doc_id, unnest(list_distinct({_dd_grams(6)})) AS gram
+              FROM documents WHERE doc_id >= 50 AND doc_id < 400),
+            bg AS (
+              SELECT DISTINCT bench_id, gram FROM (
+                SELECT doc_id AS bench_id,
+                       unnest(list_distinct({_dd_grams(6)})) AS gram
+                FROM documents WHERE doc_id < 50))
+            SELECT dg.doc_id,
+                   count(DISTINCT dg.gram) AS n_shared_grams,
+                   count(DISTINCT bg.bench_id) AS n_bench_docs
+            FROM dg JOIN bg ON dg.gram = bg.gram
+            GROUP BY dg.doc_id
+        """,
+        # md5 top-5-hex-digit bucket < fraction(lang) * 2^20
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+                       AS BIGINT) AS DOUBLE)
+                  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                               WHEN 'fr' THEN 0.0 ELSE 0.125 END) * 1048576.0
         """,
         # exact all-pairs cosine over corpus + synthesized twins — the
         # LSH-bucketed near-dup output must equal this set

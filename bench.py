@@ -54,6 +54,8 @@ HEADLINE = [
     "owlnets_decode",
     # round 5: winnowing consumer (shared-fingerprint pairing)
     "winnow_pairs",
+    # round 5: pairs → CC clustering → canonical representative
+    "near_dup_clusters",
 ]
 
 

@@ -144,6 +144,61 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def ngram_list(col: Column, k: int = 2) -> Column:
+    """Word k-gram array WITH duplicates (unlike :func:`shingles`) — the
+    multiset that repetition statistics count over."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def repetition_stats(col: Column) -> Column:
+    """Gopher-style repetition quality signals as one struct column:
+
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words — catches keyword-stuffed and boilerplate pages.
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram /
+      total 2-grams.
+    - ``dup_5gram_frac``: fraction of 5-grams that are repeats of an
+      earlier 5-gram (1 − distinct/total) — catches templated spam whose
+      unigram profile looks natural.
+
+    Pure Column math (whole-stage codegen, zero shuffles): the max-count
+    scan is O(distinct × total) WITHIN a row, fine for web documents
+    (≤10^4 words). For corpora of book-length texts the same statistics
+    should instead be computed by ``explode`` → two hash aggregations
+    keyed by (doc, gram) then (doc) — linear but two corpus-scale
+    shuffles; this column form is the right default for web pages.
+    The reference has no corpus-quality layer; this extends its P1-P4
+    row-filter stage (pkt_kg/edge_list.py) to document granularity.
+    """
+
+    def _max_frac(arr: Column) -> Column:
+        distinct = F.array_distinct(arr)
+        max_count = F.array_max(
+            F.transform(
+                distinct,
+                lambda g: F.size(F.filter(arr, lambda x: x == g)),
+            )
+        )
+        return max_count.cast("double") / F.greatest(
+            F.size(arr), F.lit(1)
+        ).cast("double")
+
+    g5 = ngram_list(col, 5)
+    dup5 = (F.size(g5) - F.size(F.array_distinct(g5))).cast(
+        "double"
+    ) / F.greatest(F.size(g5), F.lit(1)).cast("double")
+    return F.struct(
+        _max_frac(ngram_list(col, 1)).alias("top_word_frac"),
+        _max_frac(ngram_list(col, 2)).alias("top_2gram_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )
+
+
 def token_length_distribution(
     docs,
     quantiles: list[float] | None = None,

@@ -424,6 +424,64 @@ def winnow_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    state_store=None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair table: ``[<id_col>,
+    cluster_id]`` for every document, where ``cluster_id`` is the min doc
+    id of its connected component over the pairs (singletons map to
+    themselves).
+
+    This is the step production dedup pipelines run between candidate
+    pairing and representative selection: pairs alone over-delete (A~B,
+    B~C ⇒ removing both B and C loses the A~C transitivity decision);
+    clustering makes "keep exactly one per group" well-defined. Works
+    over ANY pair generator — :func:`minhash_near_duplicates` (the scale
+    path), :func:`winnow_pairs`, :func:`ngram_jaccard_pairs`, or
+    :func:`embedding_near_duplicates`.
+
+    Scale path: `graph_algos.connected_components` (min-label propagation
+    + pointer jumping, hash-partitioned on node, O(log d) rounds,
+    restartable via ``state_store``); the singleton fill-in is one
+    left join against the (much smaller) paired-node label table.
+    """
+    from pheknowlator_spark.operators.graph_algos import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        state_store=state_store,
+        stage_prefix="near_dup_cc",
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    state_store=None,
+) -> DataFrame:
+    """Keep one representative (the min-id member) per near-dup cluster —
+    the end-to-end near-dedup a training pipeline applies to the corpus.
+    The cluster table is doc_id→cluster_id (two longs), so the final
+    filter is a semi join on the id, not a wide-row shuffle."""
+    clusters = near_dup_clusters(docs, pairs, id_col, state_store)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
+        F.col(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -481,3 +481,115 @@ def test_winnow_pairs_match_score_and_max_df(spark):
     no_guard = winnow_pairs(df, min_matches=1, max_df=None)
     assert any(a == 5 or b == 5 for a, b in
                {(r.a, r.b) for r in no_guard.collect()})
+
+
+def test_near_dup_clusters_and_dedup_near(spark):
+    from pheknowlator_spark.operators.dedup import dedup_near, near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(7)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chained — transitivity must hold), {4,5}; 3, 6 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "a long, b long"
+    )
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert clusters == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+    kept = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
+    assert kept == [0, 3, 4, 6]  # min id per cluster + singletons
+    # schema preserved: dedup_near returns full original rows
+    assert dedup_near(docs, pairs).columns == docs.columns
+
+
+def test_repetition_stats(spark):
+    from pheknowlator_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),          # one word repeated 4x
+        (2, "a b c d e f"),                   # no repetition
+        (3, "x y x y x y x y x y"),           # "x y" bigram dominates
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", repetition_stats(F.col("text")).alias("rep")
+        ).select("doc_id", "rep.*").collect()
+    }
+    assert out[1].top_word_frac == 1.0
+    assert out[1].top_2gram_frac == 1.0       # "spam spam" x3 of 3
+    assert out[2].top_word_frac == pytest.approx(1 / 6)
+    assert out[2].dup_5gram_frac == 0.0
+    # "x y" appears 5 times among 9 bigrams
+    assert out[3].top_2gram_frac == pytest.approx(5 / 9)
+    # 10 words -> 6 5-grams, alternating so only 2 distinct
+    assert out[3].dup_5gram_frac == pytest.approx(4 / 6)
+
+
+def test_contamination_check(spark):
+    from pheknowlator_spark.operators.corpus import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "pack my box with five")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps suffix"),   # hits bench 100
+            (2, "pack my box with five liquor jugs"),          # hits bench 101
+            (3, "completely unrelated words only here"),       # clean
+            (4, "the quick brown fox jumps and pack my box with five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_check(docs, bench, n=5).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 produces no row
+    assert out[1].n_bench_docs == 1
+    assert out[2].n_bench_docs == 1
+    assert out[4].n_bench_docs == 2
+    # doc 4 contains both 5-gram suites verbatim -> >= 2 shared grams
+    assert out[4].n_shared_grams >= 2
+
+
+def test_stratified_sample(spark):
+    from pheknowlator_spark.operators.corpus import (
+        sample_bucket,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    frac = {"en": 0.5, "de": 0.0}
+    out = stratified_sample(docs, "lang", frac, id_col="doc_id")
+    rows = sorted(r.doc_id for r in out.collect())
+    # de fully dropped; en roughly half (hash-uniform, loose bounds)
+    langs = {r.lang for r in out.collect()}
+    assert langs == {"en"}
+    assert 350 < len(rows) < 650
+    # deterministic: a second run keeps exactly the same rows
+    rows2 = sorted(r.doc_id for r in out.collect())
+    assert rows == rows2
+    # repartitioning does not change the surviving set (unlike sampleBy)
+    rows3 = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(13), "lang", frac, id_col="doc_id"
+        ).collect()
+    )
+    assert rows == rows3
+    # default_fraction applies to unmapped strata
+    all_default = stratified_sample(docs, "lang", {}, default_fraction=1.0)
+    assert all_default.count() == 2000
+    # the bucket is the documented md5 prefix (SQL-reproducible)
+    import hashlib
+
+    probe = docs.filter(F.col("doc_id") == 7).select(
+        sample_bucket(F.col("doc_id")).alias("b")
+    ).collect()[0].b
+    assert probe == int(hashlib.md5(b"7").hexdigest()[:5], 16)
