@@ -650,6 +650,64 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII masking + density counts. The synthetic corpus contains no
+    PII, so both engines first append deterministic doc_id-derived
+    emails/IPs to a subset of rows (same concat in SQL), then scrub —
+    exercising the RE2-compatible regexes end-to-end with byte-exact
+    masked text on both sides."""
+    from pheknowlator_spark.functions.text import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    s = scrub_pii(F.col("text"))
+    return aug.select(
+        "doc_id",
+        s["n_emails"].alias("n_emails"),
+        s["n_ips"].alias("n_ips"),
+        s["scrubbed"].alias("scrubbed"),
+    )
+
+
+def q_budget_sample(spark, sf_dir):
+    """Token-budget corpus mixing: per-source char budgets → fraction =
+    min(1, budget/weight) → the same deterministic md5 bucket filter.
+    One stratum gets an over-budget cap (fraction 1), the rest sample
+    down; the oracle recomputes the fractions from the same aggregate."""
+    from pheknowlator_spark.operators.corpus import budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = budget_sample(
+        docs,
+        "source",
+        {"src0": 4000.0, "src1": 1_000_000.0},
+        weight_col="n_chars",
+        default_budget=3000.0,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed Lloyd k-means trainer under the oracle gate: 2
     iterations from the deterministic first-8-by-id init, centroids
@@ -1254,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination_check": q_contamination_check,
         "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
+        "budget_sample": q_budget_sample,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -2180,6 +2240,57 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT bg.bench_id) AS n_bench_docs
             FROM dg JOIN bg ON dg.gram = bg.gram
             GROUP BY dg.doc_id
+        """,
+        # same deterministic PII augmentation, same RE2-safe regexes,
+        # email mask then IP mask ('g' flag: DuckDB defaults to
+        # first-match-only, Spark always replaces all)
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now' ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.1 logged' ELSE '' END AS text
+              FROM documents WHERE doc_id < 300),
+            m AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS no_email
+              FROM aug)
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(no_email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   regexp_replace(no_email,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS scrubbed
+            FROM m
+        """,
+        # per-stratum weight aggregate → min(1, budget/weight) →
+        # the same md5-bucket filter
+        "budget_sample": """
+            WITH t AS (
+              SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w
+              FROM documents GROUP BY source),
+            f AS (
+              SELECT source,
+                     least(1.0,
+                       (CASE source WHEN 'src0' THEN 4000.0
+                                    WHEN 'src1' THEN 1000000.0
+                                    ELSE 3000.0 END)
+                       / greatest(w, 1.0)) AS frac
+              FROM t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN f USING (source)
+            WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+                       AS BIGINT) AS DOUBLE)
+                  < f.frac * 1048576.0
         """,
         # md5 top-5-hex-digit bucket < fraction(lang) * 2^20
         "stratified_sample": """

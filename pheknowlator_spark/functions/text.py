@@ -199,6 +199,36 @@ def repetition_stats(col: Column) -> Column:
     )
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails and IPv4 literals (the two PII classes a web-scale
+    training pipeline always scrubs before tokenization) and count what
+    was masked, as one struct column ``(scrubbed, n_emails, n_ips)``.
+
+    Emails are masked FIRST, then IPs are counted/masked on the
+    email-masked text — a fixed order so the counts are well-defined when
+    the patterns could overlap. Pure Column math (JVM regex inside
+    codegen, no UDF); the patterns are deliberately RE2-compatible
+    (no lookaround) so the identical regex runs in DuckDB/RE2 engines for
+    auditing. Counts let a curation policy drop documents above a PII
+    density threshold rather than just masking.
+    """
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(
+        F.regexp_extract_all(no_email, F.lit(PII_IPV4_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(no_email, PII_IPV4_RE, "<IP>")
+    return F.struct(
+        scrubbed.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+    )
+
+
 def token_length_distribution(
     docs,
     quantiles: list[float] | None = None,

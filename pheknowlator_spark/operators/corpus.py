@@ -5,10 +5,12 @@ These extend the document-table surface (SURVEY §2's LLM-data-pipeline
 block) with the two corpus-prep steps a web-scale training pipeline runs
 between dedup and tokenization: (1) drop documents that leak evaluation
 data (n-gram overlap with a benchmark suite), and (2) downsample each
-stratum (language / source / quality band) to a target mixture with a
-deterministic hash — the same rows survive on every run, every cluster
-size, and every retry, which is what makes the sample reproducible and
-the job idempotently resumable.
+stratum (language / source / quality band) to a target mixture — by
+fixed per-stratum fractions (:func:`stratified_sample`) or by token/
+char budgets (:func:`budget_sample`) — with a deterministic hash: the
+same rows survive on every run, every cluster size, and every retry,
+which is what makes the sample reproducible and the job idempotently
+resumable.
 
 Scale notes (100 TB): benchmark suites are tiny relative to the corpus
 (MMLU-sized: 10^4-10^5 grams), so the contamination join broadcasts the
@@ -24,7 +26,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import shingles
 
-__all__ = ["contamination_check", "sample_bucket", "stratified_sample"]
+__all__ = [
+    "budget_sample",
+    "contamination_check",
+    "sample_bucket",
+    "stratified_sample",
+]
 
 
 def contamination_check(
@@ -114,4 +121,52 @@ def stratified_sample(
     frac = F.coalesce(mapping, F.lit(float(default_fraction)))
     return df.filter(
         sample_bucket(F.col(id_col)).cast("double") < frac * float(1 << 20)
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict,
+    weight_col: str,
+    default_budget: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample each stratum to ≈ a target WEIGHT budget (tokens,
+    characters, bytes): fraction = min(1, budget / stratum_weight),
+    applied with the same deterministic md5 bucket as
+    :func:`stratified_sample` — the corpus-mixing step that turns "2:1
+    English:code, 50B tokens total" into per-row keep decisions.
+
+    Already-under-budget strata keep every row (fraction capped at 1);
+    the expected surviving weight of an over-budget stratum is the
+    budget (hash buckets are uniform and independent of the weight
+    column). Cost: ONE partially-combined aggregation producing a
+    stratum-count-sized table (broadcast back), then a map-side filter —
+    the corpus is scanned twice but never shuffled. Deterministic like
+    ``stratified_sample``: the surviving set is a pure function of
+    (ids, stratum weights), identical across partitionings and retries.
+    """
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("__stratum_weight")
+    )
+    if not budgets:
+        mapping = F.lit(None).cast("double")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for k, v in budgets.items() for x in (k, float(v))]
+        )[F.col(strata_col)]
+    frac = F.least(
+        F.lit(1.0),
+        F.coalesce(mapping, F.lit(float(default_budget)))
+        / F.greatest(F.col("__stratum_weight"), F.lit(1.0)),
+    )
+    dim = totals.select(F.col(strata_col), frac.alias("__frac"))
+    return (
+        df.join(F.broadcast(dim), strata_col)
+        .filter(
+            sample_bucket(F.col(id_col)).cast("double")
+            < F.col("__frac") * 1048576.0
+        )
+        .drop("__frac")
     )

@@ -593,3 +593,64 @@ def test_stratified_sample(spark):
         sample_bucket(F.col("doc_id")).alias("b")
     ).collect()[0].b
     assert probe == int(hashlib.md5(b"7").hexdigest()[:5], 16)
+
+
+def test_scrub_pii(spark):
+    from pheknowlator_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@test-site.org or 192.168.0.1 please"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.co z@w.io one ip 10.0.0.255"),
+        (4, "not an ip 1234.5.6.7890 half"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", scrub_pii(F.col("text")).alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1].n_emails == 1 and out[1].n_ips == 1
+    assert out[1].scrubbed == "mail <EMAIL> or <IP> please"
+    assert out[2].n_emails == 0 and out[2].n_ips == 0
+    assert out[2].scrubbed == "no pii here at all"
+    assert out[3].n_emails == 2 and out[3].n_ips == 1
+    assert out[3].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    # \b guards: 4-digit runs around dots are not IPv4
+    assert out[4].n_ips == 0
+
+
+def test_budget_sample(spark):
+    from pheknowlator_spark.operators.corpus import budget_sample
+
+    # stratum A: 100 docs x 100 chars = 10_000; B: 100 x 100 = 10_000
+    docs = spark.createDataFrame(
+        [(i, "A" if i < 100 else "B", 100) for i in range(200)],
+        "doc_id long, stratum string, w long",
+    )
+    out = budget_sample(
+        docs, "stratum", {"A": 5000.0, "B": 1e9}, weight_col="w"
+    )
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.stratum, []).append(r.doc_id)
+    # B is under budget: every row kept
+    assert sorted(by["B"]) == list(range(100, 200))
+    # A sampled to ~half (hash-uniform, loose bounds)
+    assert 25 < len(by["A"]) < 75
+    # deterministic under repartitioning
+    again = sorted(
+        r.doc_id
+        for r in budget_sample(
+            docs.repartition(7), "stratum", {"A": 5000.0, "B": 1e9},
+            weight_col="w",
+        ).collect()
+    )
+    assert again == sorted(r.doc_id for r in rows)
+    # default budget 0 -> unmapped strata fully dropped
+    none_kept = budget_sample(docs, "stratum", {"B": 1e9}, weight_col="w")
+    assert {r.stratum for r in none_kept.collect()} == {"B"}
+    # schema preserved (helper columns dropped)
+    assert set(out.columns) == {"doc_id", "stratum", "w"}
