@@ -650,6 +650,16 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (max 32, stride 24):
+    the curation→tokenization chunking step, one narrow stage (split +
+    transform + explode, no shuffle/UDF)."""
+    from pheknowlator_spark.functions.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_documents(docs, max_tokens=32, stride=24)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII masking + density counts. The synthetic corpus contains no
     PII, so both engines first append deterministic doc_id-derived
@@ -1314,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
         "budget_sample": q_budget_sample,
+        "chunk_documents": q_chunk_documents,
         "multimodal_features": q_multimodal_features,
         "owlnets_decode": q_owlnets_decode,
         "pipeline_triples": q_pipeline_triples,
@@ -2240,6 +2251,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT bg.bench_id) AS n_bench_docs
             FROM dg JOIN bg ON dg.gram = bg.gram
             GROUP BY dg.doc_id
+        """,
+        # tiling re-derivation: start indices i*stride, inclusive-slice
+        # windows of max_tokens words, tail truncated
+        "chunk_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS words
+              FROM documents WHERE doc_id < 300),
+            c AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, (len(words) - 1) // 24 + 1),
+                       i -> struct_pack(
+                         chunk_id := i,
+                         wv := words[i * 24 + 1 : i * 24 + 32]))) AS ch
+              FROM w)
+            SELECT doc_id, ch.chunk_id AS chunk_id,
+                   len(ch.wv) AS n_tokens,
+                   array_to_string(ch.wv, ' ') AS chunk
+            FROM c
         """,
         # same deterministic PII augmentation, same RE2-safe regexes,
         # email mask then IP mask ('g' flag: DuckDB defaults to

@@ -199,6 +199,56 @@ def repetition_stats(col: Column) -> Column:
     )
 
 
+def chunk_documents(
+    docs,
+    max_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Explode documents into fixed-size whitespace-token windows —
+    the chunking step between curation and tokenization in a training
+    pipeline (and the indexing unit for retrieval): returns
+    ``[<id_col>, chunk_id, n_tokens, chunk]``.
+
+    ``stride`` < ``max_tokens`` yields overlapping windows (RAG-style
+    context overlap); the default ``stride = max_tokens`` tiles the
+    document exactly. Chunk starts are ``i * stride`` for
+    ``i = 0 .. floor((n_words - 1) / stride)``, so every word is covered
+    and no chunk starts past the end; the tail chunk is short.
+
+    Pure Column math — split, one ``transform`` over the start indices,
+    one ``explode``; no shuffle, no UDF, and the chunk count per row is
+    data-derived (no driver-side loop), so the operator is a single
+    narrow stage at any corpus size.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    last = ((n - 1) / F.lit(stride)).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.greatest(last, F.lit(0).cast("long"))),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(words, (i * stride + 1).cast("int"), max_tokens).alias(
+                "__w"
+            ),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.__w").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.__w")).alias("chunk"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 

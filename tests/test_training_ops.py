@@ -654,3 +654,40 @@ def test_budget_sample(spark):
     assert {r.stratum for r in none_kept.collect()} == {"B"}
     # schema preserved (helper columns dropped)
     assert set(out.columns) == {"doc_id", "stratum", "w"}
+
+
+def test_chunk_documents(spark):
+    from pheknowlator_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    # exact tiling: stride == max_tokens
+    tiles = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+        for r in chunk_documents(docs, max_tokens=4).collect()
+    )
+    assert tiles == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w4 w5 w6 w7"),
+        (1, 2, 2, "w8 w9"),
+        (2, 0, 1, "solo"),
+    ]
+    # tiling reconstructs doc 1's word stream exactly (no loss, no overlap)
+    rebuilt = " ".join(c for (d, _, _, c) in tiles if d == 1)
+    assert rebuilt == " ".join(f"w{i}" for i in range(10))
+    # overlapping windows: stride 2 < max 4 -> consecutive chunks share 2
+    over = {
+        r.chunk_id: r.chunk
+        for r in chunk_documents(
+            docs.filter(F.col("doc_id") == 1), max_tokens=4, stride=2
+        ).collect()
+    }
+    assert over[0].split()[2:] == over[1].split()[:2]
+    # every word covered, last chunk never starts past the end
+    assert over[max(over)].split()[-1] == "w9"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
