@@ -153,3 +153,55 @@ def test_winnow_hash_computed_once_per_shingle(spark):
     df = winnow_fingerprints(docs, shingle_k=3, window=4)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("xxhash64") == 1, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    import __spark_entry__ as e
+
+    df = e.q_contamination_check(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    # the benchmark gram set is the broadcast build side; the corpus side
+    # must never sort-merge against it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # both scans push their doc_id range predicates down
+    assert plan.count("PushedFilters: [IsNotNull(doc_id)") >= 2
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    import __spark_entry__ as e
+
+    df = e.q_stratified_sample(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    # a pure scan+filter plan: no exchange of any kind, no Python eval
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: only the three referenced columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_budget_sample_single_broadcast_aggregate(spark):
+    import __spark_entry__ as e
+
+    df = e.q_budget_sample(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    # the stratum-weight dim joins back via broadcast, not sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one aggregation pair (partial + final) for the weights —
+    # the corpus itself is never shuffled, only the stratum aggregate
+    assert "Exchange hashpartitioning(source" in plan
+
+
+def test_chunk_documents_single_narrow_stage(spark):
+    import __spark_entry__ as e
+
+    df = e.q_chunk_documents(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

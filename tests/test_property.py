@@ -88,3 +88,100 @@ def test_explodes_data_matches_reference(spark, rows):
         for fb in frags(b)
     )
     assert got == expected
+
+
+_pii_frag = st.one_of(
+    st.text(alphabet="ab @.<>-19", min_size=0, max_size=8),
+    st.just("u@x.io"),
+    st.just("1.2.3.4"),
+    st.just("a.b@c-d.org "),
+    st.just("10.0.0.255."),
+    st.just("1234.5.6.7890"),
+    st.just("@@..@@"),
+)
+
+
+@st.composite
+def pii_texts(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    return [
+        " ".join(draw(_pii_frag) for _ in range(draw(st.integers(1, 5))))
+        for _ in range(n)
+    ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=pii_texts())
+def test_scrub_pii_matches_re_model_and_is_idempotent(spark, texts):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pheknowlator_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        scrub_pii,
+    )
+
+    def model(t):
+        n_e = len(re.findall(PII_EMAIL_RE, t))
+        t1 = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        n_i = len(re.findall(PII_IPV4_RE, t1))
+        return re.sub(PII_IPV4_RE, "<IP>", t1), n_e, n_i
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: (r.s.scrubbed, r.s.n_emails, r.s.n_ips)
+        for r in df.select("i", scrub_pii(F.col("text")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        # Java-regex column == Python-re model (same RE2-safe patterns)
+        assert got[i] == model(t), t
+        # idempotence: scrubbing scrubbed text changes nothing
+        scrubbed = got[i][0]
+        assert model(scrubbed)[0] == scrubbed, scrubbed
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+        unique=True,
+    ),
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_stratified_sample_model_and_monotonicity(spark, ids, f1, f2):
+    import hashlib
+
+    from pheknowlator_spark.operators.corpus import stratified_sample
+
+    lo, hi = sorted([f1, f2])
+    df = spark.createDataFrame([(i, "s") for i in ids], "doc_id long, lang string")
+
+    def kept(frac):
+        return {
+            r.doc_id
+            for r in stratified_sample(df, "lang", {"s": frac}).collect()
+        }
+
+    k_lo, k_hi = kept(lo), kept(hi)
+    # the surviving set is exactly the documented md5-bucket model
+    model = {
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16) < lo * 1048576
+    }
+    assert k_lo == model
+    # monotonicity: a smaller fraction keeps a subset of a larger one
+    assert k_lo <= k_hi
