@@ -69,13 +69,26 @@ def minhash_signatures(
     """Per-doc MinHash signature as an array column — pure column math.
 
     h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+
+    Computed as ONE ``aggregate`` over the shingle array with an
+    array-of-minima accumulator (the same shape as the simhash voting
+    fix): the original ``num_hashes`` separate ``array_min(transform(sh,
+    ...))`` projections each re-evaluated the shingle expression — Spark's
+    subexpression elimination skips lambda-bearing expressions, so the
+    split + k-gram + distinct pipeline ran ``num_hashes`` times per row
+    (measured: 64 re-evals made signatures ~50× slower than this form on
+    ~700-word pages). Here the shingle array is referenced once; the
+    per-shingle cost is just the ``num_hashes`` seeded hashes.
     """
     sh = shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(9223372036854775807), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return docs.select(F.col(id_col), sh.alias("shingles"), sig.alias("signature"))
 
@@ -90,30 +103,42 @@ def minhash_lsh_candidates(
 
     Shuffle key = (band, hash(band slice)) — never all-pairs. Returns
     [a, b] with a < b, distinct.
+
+    The per-band structs are built INSIDE a ``transform`` over a
+    1-element array wrapping the signature column: when Catalyst's
+    CollapseProject inlines the upstream signature expression (an
+    ``aggregate`` over the shingles), a plain ``F.array(*(...16
+    slices...))`` would re-evaluate that aggregate once per band; binding
+    it to a lambda variable guarantees a single evaluation per row.
     """
     banded = signatures.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        F.col("signature"),
-                                        b * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
+            F.flatten(
+                F.transform(
+                    F.array(F.col("signature")),
+                    lambda sig: F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.xxhash64(
+                                    F.concat_ws(
+                                        ",",
+                                        F.transform(
+                                            F.slice(
+                                                sig,
+                                                b * rows_per_band + 1,
+                                                rows_per_band,
+                                            ),
+                                            lambda x: x.cast("string"),
+                                        ),
+                                    )
+                                ).alias("bucket"),
                             )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+                            for b in range(bands)
+                        ]
+                    ),
+                )
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")

@@ -504,6 +504,15 @@ def test_near_dup_clusters_and_dedup_near(spark):
     # schema preserved: dedup_near returns full original rows
     assert dedup_near(docs, pairs).columns == docs.columns
 
+    # empty pair table: every doc is its own singleton cluster, none dropped
+    empty = spark.createDataFrame([], "a long, b long")
+    singletons = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, empty).collect()
+    }
+    assert singletons == {i: i for i in range(7)}
+    assert dedup_near(docs, empty).count() == 7
+
 
 def test_repetition_stats(spark):
     from pheknowlator_spark.functions.text import repetition_stats
