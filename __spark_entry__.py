@@ -743,6 +743,48 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_segment_dedup(spark, sf_dir):
+    """Span-level exact dedup with document reassembly (Lee et al. 2022
+    at segment granularity): duplicated 4-word segments keep only their
+    globally-first occurrence; documents are re-concatenated from the
+    survivors. 4-word segments at the gate SF so duplicated spans actually
+    occur in the synthetic corpus (production default is 20); the whole
+    rule — segment split, corpus frequency, min-(doc,pos) keep, ordered
+    reassembly — re-derives closed-form in DuckDB."""
+    from pheknowlator_spark.operators.dedup import segment_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dedup(docs, words_per_segment=4, min_df=2)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster, then within-cell cosine ≥ τ keep-min-id) over
+    the corpus plus 50 synthesized twins (same construction as
+    embedding_near_dup) with deterministic centroids (first 8 by id), so
+    assignment, in-cell pairing, and the keep flag all re-derive
+    closed-form in DuckDB. (The k-means-trained variant is
+    pytest-asserted in test_training_ops.)"""
+    from pheknowlator_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    el0 = F.element_at("embedding", 1).cast("double") * 0.9 + 0.05
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(el0),
+            F.transform(
+                F.slice("embedding", 2, 63), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    return semantic_dedup(corpus, threshold=0.9, n_centroids=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing: the mapInPandas feature extraction runs
     end-to-end (fake codec) and the query returns the gate-sortable scalar
@@ -1316,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "kmeans_centroids": q_kmeans_centroids,
+        "segment_dedup": q_segment_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_pairs": q_winnow_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2159,6 +2203,80 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(max_hamming=6),
         # Lloyd k-means iteration chain replayed as CTEs (2 iterations)
         "kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
+        # span-level exact dedup: 4-word segments, corpus frequency via a
+        # window (the Spark side's hash-groupBy verdict is equivalent),
+        # keep first-(doc,pos) occurrence of each duplicated segment,
+        # ordered reassembly per document
+        "segment_dedup": r"""
+            WITH wd AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            segs AS (
+              SELECT doc_id,
+                [{'i': i-1,
+                  's': array_to_string(words[((i-1)*4+1):(i*4)], ' ')}
+                 for i in range(1, CAST(ceil(len(words)/4.0) AS INT)+1)] AS sl
+              FROM wd),
+            ex AS (SELECT doc_id, unnest(sl) AS seg FROM segs),
+            occ AS (SELECT doc_id, seg.i AS seg_idx, seg.s AS segment FROM ex),
+            r AS (
+              SELECT doc_id, seg_idx, segment,
+                     count(*) OVER (PARTITION BY segment) AS df,
+                     row_number() OVER (
+                       PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+              FROM occ)
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list(segment ORDER BY seg_idx)
+                       FILTER (WHERE df < 2 OR rn = 1), ' '), '') AS clean_text,
+                   count(*) AS n_segments,
+                   sum(CASE WHEN df < 2 OR rn = 1 THEN 0 ELSE 1 END) AS n_removed
+            FROM r GROUP BY doc_id
+        """,
+        # SemDeDup closed form: twin corpus (as embedding_near_dup), fixed
+        # first-8-by-id centroids, argmax-cosine assignment (VARCHAR
+        # centroid-id tie-break = the Spark min_by ordering struct),
+        # within-cell pairwise cosine >= 0.9 marks the higher id dropped
+        "semantic_dedup": """
+            WITH e0 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            corpus AS (
+              SELECT vec_id, v FROM e0
+              UNION ALL
+              SELECT vec_id + 10000, [v[1] * 0.9 + 0.05] || v[2:64]
+              FROM e0 WHERE vec_id < 50),
+            cents AS (
+              SELECT CAST(vec_id AS VARCHAR) AS cid, v AS cent
+              FROM corpus ORDER BY vec_id LIMIT 8),
+            s AS (
+              SELECT c.vec_id, c.v, t.cid,
+                     list_sum(list_transform(list_zip(c.v, t.cent),
+                                             p -> p[1]*p[2]))
+                     / greatest(
+                         sqrt(list_sum(list_transform(c.v, q -> q*q))) *
+                         sqrt(list_sum(list_transform(t.cent, q -> q*q))),
+                         1e-12) AS sim
+              FROM corpus c, cents t),
+            a AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                FROM s) WHERE rn = 1),
+            dups AS (
+              SELECT DISTINCT y.vec_id
+              FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              WHERE list_sum(list_transform(list_zip(x.v, y.v),
+                                            p -> p[1]*p[2]))
+                    / greatest(
+                        sqrt(list_sum(list_transform(x.v, q -> q*q))) *
+                        sqrt(list_sum(list_transform(y.v, q -> q*q))),
+                        1e-12) >= 0.9)
+            SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS keep
+            FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        """,
         # winnowing re-derivation: ordered 3-gram md5 hashes (63-bit
         # masked so unsigned/signed min orderings agree), window-of-4
         # minima, distinct

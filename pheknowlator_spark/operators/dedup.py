@@ -570,3 +570,103 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def segment_occurrences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 20,
+) -> DataFrame:
+    """Non-overlapping ``words_per_segment``-word segments with their
+    in-document position: ``[<id_col>, seg_idx, segment]`` — the unit of
+    span-level exact dedup (:func:`segment_dedup`).
+
+    Pure column math: one split + one generated-sequence transform +
+    posexplode, no shuffle. The word array is bound to a lambda variable
+    (the 1-element-array ``transform`` idiom, see
+    :func:`minhash_lsh_candidates`) so the split/lower/trim pipeline is
+    evaluated once per row — referenced bare, CollapseProject would inline
+    it into every per-segment ``slice`` call.
+    """
+    w = words_per_segment
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    segs = F.flatten(
+        F.transform(
+            F.array(words),
+            lambda wds: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size(wds) / F.lit(w)) - 1).cast("int"),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(wds, i * w + 1, w)),
+            ),
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "segment")
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 20,
+    min_df: int = 2,
+) -> DataFrame:
+    """Span-level exact dedup with document reassembly (the
+    "deduplicating training data" recipe of Lee et al. 2022, at segment
+    rather than suffix-array granularity): every segment whose corpus
+    frequency is ≥ ``min_df`` keeps only its globally-first occurrence
+    (min ``(doc_id, seg_idx)``); all other occurrences are removed and the
+    surviving segments are re-concatenated in document order. Returns
+    ``[<id_col>, clean_text, n_segments, n_removed]`` — one row per input
+    document (a fully-duplicated document survives with empty
+    ``clean_text``, which a downstream length filter then drops).
+
+    100 TB path: the only corpus-scale shuffles are (1) the groupBy on the
+    64-bit segment hash — count + ``min_by`` both partial-combine
+    map-side, so one candidate row per (hash, partition) crosses the wire
+    no matter how boilerplate-heavy the corpus is — (2) the hash-keyed
+    join of occurrences back to their group verdicts, and (3) the per-doc
+    reassembly groupBy. Grouping is by ``xxhash64(segment)`` rather than
+    the segment text so hot groups shuffle 8-byte keys, not word spans
+    (collision odds at 10^12 segments ≈ birthday(2^64) ≈ 3%, affecting
+    single segments, not documents; use two independent hashes if that
+    matters).
+    """
+    occ = segment_occurrences(docs, id_col, text_col, words_per_segment)
+    occ = occ.withColumn("__h", F.xxhash64("segment"))
+    grp = occ.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.min_by(
+            F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("p")),
+            F.struct(F.col(id_col), F.col("seg_idx")),
+        ).alias("__first"),
+    )
+    keep = (F.col("__df") < min_df) | (
+        (F.col(id_col) == F.col("__first.i"))
+        & (F.col("seg_idx") == F.col("__first.p"))
+    )
+    flagged = occ.join(grp, "__h").select(
+        F.col(id_col), F.col("seg_idx"), F.col("segment"), keep.alias("__keep")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("seg_idx"), F.col("segment")),
+                        )
+                    )
+                ),
+                lambda s: s.segment,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+    )

@@ -312,3 +312,76 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, call a
+    vector a semantic duplicate if a LOWER-ID vector in the SAME cluster
+    has cosine ≥ ``threshold``, keep one representative per duplicate
+    group. Returns ``[<id_col>, centroid_id, keep]`` for every input
+    vector — the caller semi-joins ``keep`` back to the corpus (same
+    contract shape as :func:`~pheknowlator_spark.operators.dedup.
+    dedup_near`).
+
+    ``centroids`` defaults to the deterministic first-``n_centroids``-
+    by-id sample (fully re-derivable closed form — what the oracle gate
+    checks); pass :func:`kmeans_centroids` output for trained cells.
+
+    100 TB path: assignment is the same broadcast-centroid ``min_by``
+    hash aggregation as :func:`ivf_topk` (no window sort); the pairwise
+    cosine is confined WITHIN a cell — the self-join is keyed on
+    ``centroid_id``, so its cost is Σ|cell|², bounded by the cluster
+    granularity knob (SemDeDup's design point: k grows with the corpus so
+    cells stay ~constant-sized), never corpus × corpus. Skewed cells are
+    split by AQE; min-id keep semantics make the result independent of
+    partitioning.
+    """
+    cents = centroids if centroids is not None else (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).cast("string").alias("centroid_id"),
+            F.col(vec_col).alias("__cent"),
+        )
+    )
+    c = vectors.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    sim = cosine(F.col("__cv"), F.col("__cent"))
+    cells = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("centroid_id").alias("centroid_id"),
+                         F.col("__cv").alias("__cv")),
+                F.struct((-sim).alias("d"), F.col("centroid_id")),
+            ).alias("__w")
+        )
+        .select(id_col, F.col("__w.centroid_id").alias("centroid_id"),
+                F.col("__w.__cv").alias("__cv"))
+    )
+    left = cells.select(
+        "centroid_id", F.col(id_col).alias("a"), F.col("__cv").alias("__va")
+    )
+    right = cells.select(
+        "centroid_id", F.col(id_col).alias("b"), F.col("__cv").alias("__vb")
+    )
+    dups = (
+        left.join(right, "centroid_id")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return cells.join(dups, id_col, "left").select(
+        id_col, "centroid_id", F.col("__dup").isNull().alias("keep")
+    )

@@ -700,3 +700,76 @@ def test_chunk_documents(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=0)
+
+
+def test_segment_dedup(spark):
+    from pheknowlator_spark.operators.dedup import (
+        segment_dedup,
+        segment_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),   # W=3: "a b c", "d e f"
+            (1, "a b c x y z"),   # "a b c" repeats doc0's first segment
+            (2, "x y z"),         # repeats doc1's second segment
+            (3, "q r"),           # single short segment (tail clamp)
+        ],
+        "doc_id long, text string",
+    )
+    occ = {
+        (r.doc_id, r.seg_idx): r.segment
+        for r in segment_occurrences(docs, words_per_segment=3).collect()
+    }
+    assert occ[(0, 0)] == "a b c" and occ[(0, 1)] == "d e f"
+    assert occ[(3, 0)] == "q r"  # shorter-than-W tail is one segment
+
+    out = {r.doc_id: r for r in segment_dedup(docs, words_per_segment=3).collect()}
+    assert out[0].clean_text == "a b c d e f" and out[0].n_removed == 0
+    # doc1 loses "a b c" (first occurrence lives in doc0) but keeps
+    # "x y z" (ITS occurrence is the global first)
+    assert out[1].clean_text == "x y z" and out[1].n_removed == 1
+    # doc2 is fully duplicated -> empty survivor row, not a missing row
+    assert out[2].clean_text == "" and out[2].n_removed == 1
+    assert out[3].clean_text == "q r" and out[3].n_segments == 1
+    # min_df=3: df-2 segments are under the bar, nothing removed
+    out3 = {
+        r.doc_id: r.n_removed
+        for r in segment_dedup(docs, words_per_segment=3, min_df=3).collect()
+    }
+    assert out3 == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_semantic_dedup(spark):
+    from pheknowlator_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.999, 0.01, 0.0]),  # near-dup of 0
+            (4, [0.01, 0.999, 0.0]),  # near-dup of 1
+            (5, [0.0, 0.0, 0.9]),     # scaled copy of 2 (cosine exactly 1)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(vecs, threshold=0.99, n_centroids=3).collect()
+    }
+    assert [out[i].keep for i in range(6)] == [True, True, True, False, False, False]
+    assert out[3].centroid_id == "0" and out[5].centroid_id == "2"
+    # trained-centroid variant: same grouping on this separable input
+    cents = kmeans_centroids(vecs, n_centroids=3, iters=2)
+    trained = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(vecs, threshold=0.99, centroids=cents).collect()
+    }
+    assert trained == {0: True, 1: True, 2: True, 3: False, 4: False, 5: False}
+    # threshold above any cosine: everything kept
+    all_keep = semantic_dedup(vecs, threshold=1.01, n_centroids=3)
+    assert all(r.keep for r in all_keep.collect())
