@@ -322,6 +322,53 @@ def q_transitive_closure(spark, sf_dir):
     return transitive_closure(e1.unionByName(e2))
 
 
+def q_pagerank(spark, sf_dir):
+    """Power-iteration PageRank (5 rounds, d=0.85) on the same directed
+    customer→order graph as connected_components: customers carry
+    out-edges, orders are all dangling, so the dangling-mass
+    redistribution path is exercised every round. Ranks rounded to 9 dp
+    (float noise from shuffle-order summation is ~1e-15; the oracle
+    unrolls the identical 5 iterations as DuckDB CTEs)."""
+    from pheknowlator_spark.operators.graph_algos import pagerank
+
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    edges = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=5)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 keywords by smoothed TF-IDF; tf/df are exact
+    integers, tfidf rounded to 9 dp (one deterministic ln per term —
+    Java vs libm agree well past 9 significant digits here)."""
+    from pheknowlator_spark.operators.corpus import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df",
+        F.round("tfidf", 9).alias("tfidf"), "rank",
+    )
+
+
+def q_lm_score(spark, sf_dir):
+    """CCNet-style perplexity scoring: Laplace unigram LM trained on the
+    English slice, every document scored. Counts exact; avg_logp rounded
+    to 6 dp (per-doc float-sum shuffle-order noise ~1e-12), ppl to 4."""
+    from pheknowlator_spark.operators.corpus import lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lm_score(docs, docs.filter(F.col("lang") == "en"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def q_integer_id_map(spark, sf_dir):
     from pheknowlator_spark.operators.graph_algos import assign_integer_ids
 
@@ -439,6 +486,22 @@ def q_comention_edges(spark, sf_dir):
 
     mentions = detect_mentions(_doc_pages(spark, sf_dir), _doc_dictionary(spark))
     return derive_comention_edges(mentions, min_pages=2)
+
+
+def q_comention_pmi(spark, sf_dir):
+    """PMI-weighted co-mention pairs (page-level counts, N = pages with
+    ≥1 linked mention): the principled edge weight over the same mention
+    universe as comention_edges. Counts are exact integers; the single
+    ln per pair agrees with DuckDB well past the 9-dp rounding."""
+    from pheknowlator_spark.webtext.mentions import detect_mentions
+    from pheknowlator_spark.webtext.pipeline import comention_pmi
+
+    mentions = detect_mentions(_doc_pages(spark, sf_dir), _doc_dictionary(spark))
+    out = comention_pmi(mentions, min_pages=2)
+    return out.select(
+        "c1", "c2", "n_pages", "n1", "n2",
+        F.round("pmi", 9).alias("pmi"),
+    )
 
 
 def q_events_windowed(spark, sf_dir):
@@ -1329,6 +1392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetry_antijoin": q_symmetry_antijoin,
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
+        "pagerank": q_pagerank,
+        "tfidf_topk": q_tfidf_topk,
+        "lm_score": q_lm_score,
         "integer_id_map": q_integer_id_map,
         "nt_lines": q_nt_lines,
         "dedup_exact": q_dedup_exact,
@@ -1338,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
+        "comention_pmi": q_comention_pmi,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "edge_type_stats": q_edge_type_stats,
@@ -1706,6 +1773,58 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Closed-form SQL replay of the pagerank power iteration
+    (graph_algos.pagerank) on the orders-%7 customer→order graph: one CTE
+    block per iteration — per-node in-contribution sum, dangling-mass
+    scalar, damped update. Float literals are string-cast to DOUBLE so
+    DuckDB's decimal literal parsing can't change the arithmetic; the
+    iteration-constant (1-d)/N is computed as the SAME two IEEE ops
+    (exact (1-d) literal, then /N) the Spark driver performs."""
+    d = damping
+    one_minus_d = repr(1.0 - d)
+    blocks = [
+        """
+        e0 AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+          FROM orders WHERE o_orderkey % 7 = 0),
+        deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+        e AS (
+          SELECT e0.src, e0.dst, CAST(1 AS DOUBLE) / deg.deg AS w
+          FROM e0 JOIN deg USING (src)),
+        nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn)
+        """
+    ]
+    for it in range(1, iterations + 1):
+        blocks.append(
+            f"""
+        c{it} AS (
+          SELECT e.dst AS node, sum(r.rank * e.w) AS contrib
+          FROM e JOIN r{it - 1} r ON e.src = r.node GROUP BY e.dst),
+        d{it} AS (
+          SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS m
+          FROM r{it - 1} WHERE node NOT IN (SELECT src FROM e)),
+        r{it} AS (
+          SELECT n_.node,
+                 CAST('{one_minus_d}' AS DOUBLE) / nn.n
+                 + CAST('{d!r}' AS DOUBLE)
+                   * (coalesce(c_.contrib, CAST(0 AS DOUBLE)) + d{it}.m / nn.n)
+                   AS rank
+          FROM nodes n_
+          CROSS JOIN nn
+          CROSS JOIN d{it}
+          LEFT JOIN c{it} c_ ON n_.node = c_.node)
+        """
+        )
+    return (
+        "WITH " + ",".join(blocks) + f"""
+        SELECT node, round(rank, 9) AS rank FROM r{iterations}
+    """
+    )
+
+
 def _simhash_oracle_sql(max_hamming: int = 6, shingle_k: int = 2) -> str:
     """All-pairs DuckDB re-derivation of the md5-hashed SimHash pair set.
 
@@ -2010,6 +2129,28 @@ def oracle_sql() -> dict[str, str]:
             FROM typed WHERE edge_type IS NOT NULL
             GROUP BY ALL HAVING count(DISTINCT doc_id) >= 2
         """,
+        # PMI over the same mention universe: page-level entity/pair
+        # counts, N = pages with >=1 mention, one ln per surviving pair
+        "comention_pmi": f"""
+            WITH {_MENTIONS_CTE.strip()},
+            pe AS (SELECT DISTINCT doc_id, curie FROM mentions),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM pe),
+            marg AS (SELECT curie, count(*) AS c FROM pe GROUP BY curie),
+            pairs AS (
+              SELECT x.curie AS c1, y.curie AS c2
+              FROM pe x JOIN pe y
+                ON x.doc_id = y.doc_id AND x.curie < y.curie),
+            pc AS (
+              SELECT c1, c2, count(*) AS n_pages FROM pairs
+              GROUP BY c1, c2 HAVING count(*) >= 2)
+            SELECT pc.c1, pc.c2, pc.n_pages, m1.c AS n1, m2.c AS n2,
+                   round(ln((CAST(pc.n_pages AS DOUBLE) * nn.n)
+                            / (CAST(m1.c AS DOUBLE) * m2.c)), 9) AS pmi
+            FROM pc
+            JOIN marg m1 ON pc.c1 = m1.curie
+            JOIN marg m2 ON pc.c2 = m2.curie
+            CROSS JOIN nn
+        """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS cnt
@@ -2203,6 +2344,67 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_oracle_sql(max_hamming=6),
         # Lloyd k-means iteration chain replayed as CTEs (2 iterations)
         "kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
+        # power-iteration PageRank unrolled as CTEs (5 iterations, d=0.85)
+        "pagerank": _pagerank_oracle_sql(iterations=5, damping=0.85),
+        # smoothed TF-IDF top-3 keywords per document: exact integer
+        # tf/df, sklearn idf = ln((1+N)/(1+df)) + 1, (tfidf DESC, term)
+        # ranking — same deterministic tie-break as the Spark window
+        "tfidf_topk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS term
+              FROM documents),
+            tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM tt GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * (ln((CAST(1 AS DOUBLE) + nn.n)
+                                 / (CAST(1 AS DOUBLE) + df.df))
+                              + CAST(1 AS DOUBLE)) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN nn),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM s)
+            SELECT doc_id, term, tf, df, round(tfidf, 9) AS tfidf, rank
+            FROM r WHERE rank <= 3
+        """,
+        # Laplace unigram LM over the English slice, then per-doc
+        # per-token log-prob: p(w) = (c+1)/(T+V), OOV floor 1/(T+V) —
+        # integer counts make the whole model exact; the division and ln
+        # mirror the Spark op order
+        "lm_score": r"""
+            WITH rt AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS term
+              FROM documents WHERE lang = 'en'),
+            rtt AS (SELECT term FROM rt WHERE term <> ''),
+            c AS (SELECT term, count(*) AS c FROM rtt GROUP BY term),
+            st AS (SELECT sum(c) AS t, count(*) AS v FROM c),
+            lm AS (
+              SELECT term, ln((c.c + 1) / (st.t + st.v)) AS logp
+              FROM c, st),
+            dt AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS term
+              FROM documents),
+            dtt AS (SELECT doc_id, term FROM dt WHERE term <> ''),
+            s AS (
+              SELECT d.doc_id,
+                     coalesce(lm.logp,
+                              ln(CAST(1 AS DOUBLE) / (st.t + st.v))) AS s
+              FROM dtt d LEFT JOIN lm USING (term) CROSS JOIN st)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(s) / count(*), 6) AS avg_logp,
+                   round(exp(-(sum(s) / count(*))), 4) AS ppl
+            FROM s GROUP BY doc_id
+        """,
         # span-level exact dedup: 4-word segments, corpus frequency via a
         # window (the Spark side's hash-groupBy verdict is equivalent),
         # keep first-(doc,pos) occurrence of each duplicated segment,

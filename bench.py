@@ -56,6 +56,12 @@ HEADLINE = [
     "winnow_pairs",
     # round 5: pairs → CC clustering → canonical representative
     "near_dup_clusters",
+    # round 5: span-level exact dedup (segment groupBy + reassembly),
+    # iterative PageRank (5 rounds, dangling redistribution), and the
+    # CCNet-style LM scorer (broadcast unigram LM + per-doc agg)
+    "segment_dedup",
+    "pagerank",
+    "lm_score",
 ]
 
 

@@ -29,8 +29,10 @@ from ..functions.text import shingles
 __all__ = [
     "budget_sample",
     "contamination_check",
+    "lm_score",
     "sample_bucket",
     "stratified_sample",
+    "tfidf_topk",
 ]
 
 
@@ -169,4 +171,131 @@ def budget_sample(
             < F.col("__frac") * 1048576.0
         )
         .drop("__frac")
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed TF-IDF
+    (sklearn's formulation: ``idf = ln((1+N)/(1+df)) + 1``) — the keyword
+    harvest a corpus pipeline runs to tag documents before mixing, and the
+    textual analog of the synonym dictionary the reference builds from
+    ontology labels (metadata harvest, SURVEY §2.8). Returns
+    ``[<id_col>, term, tf, df, tfidf, rank]`` with ``rank`` 1..k per
+    document (ties broken by term ascending, fully deterministic).
+
+    100 TB path: term frequencies and document frequencies are two
+    partially-combined hash aggregations (tf keyed on (doc, term), df one
+    count over the tf table keyed on term); the corpus size N joins in as
+    a one-row broadcast, so no driver collect. The only window is the
+    per-document top-k, partitioned by doc id — thousands of terms per
+    partition, never corpus-wide. tf and df are exact integers and idf is
+    one deterministic ``ln`` per distinct term, so the result is
+    bit-reproducible across cluster sizes and retries.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a Laplace-smoothed unigram LM on a trusted reference slice,
+    score every document by per-token log-probability; low-perplexity ≈
+    fluent reference-like text, high-perplexity ≈ boilerplate/garble.
+    ``p(w) = (c_w + 1) / (T + V)`` over reference token count ``T`` and
+    vocabulary ``V``; unseen tokens get the unsmoothed-floor
+    ``1 / (T + V)``. Returns ``[<id_col>, n_tokens, avg_logp, ppl]``
+    (``ppl = exp(-avg_logp)``) for every document with ≥1 token.
+
+    100 TB path: the LM is vocabulary-sized (it derives from the
+    reference slice, not the corpus) and broadcasts; T and V ride along
+    as a one-row broadcast, so scoring is one map-side broadcast join +
+    one partially-combined per-doc aggregation — no corpus-scale shuffle
+    of tokens against tokens, no driver collect. The real CCNet uses a
+    5-gram KenLM; the unigram here is the same plumbing with a
+    SQL-re-derivable model (swap the broadcast dim for n-gram rows to
+    upgrade).
+    """
+    def _tokens(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+
+    ref_tokens = _tokens(ref_docs)
+    counts = ref_tokens.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    stats = counts.agg(
+        F.sum("__c").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    lm = (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("__c") + F.lit(1)) / (F.col("__t") + F.col("__v"))
+            ).alias("__logp"),
+        )
+    )
+    scored = (
+        _tokens(docs)
+        .join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                "__logp",
+                F.log(F.lit(1.0) / (F.col("__t") + F.col("__v"))),
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("__s") / F.count(F.lit(1))).alias("avg_logp"),
+        F.exp(-(F.sum("__s") / F.count(F.lit(1)))).alias("ppl"),
     )

@@ -273,3 +273,109 @@ def assign_integer_ids(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
             f"integer-encoding lost triples: {n_in} in vs {n_out} out"
         )
     return id_map, int_triples
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 1,
+    state_store=None,
+    stage_prefix: str = "pr",
+    on_round=None,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge set — node importance
+    for the constructed KG (the reference exposes the networkx graph for
+    exactly this kind of downstream analysis, kg_utils.py:423-447's
+    gets_graph_statistics neighbors; here it is a first-class distributed
+    operator). Returns ``[node, rank]`` with ranks summing to 1.
+
+    Semantics (the classic formulation, fixed ``iterations`` so the result
+    is a closed-form function of the input): rank⁰ = 1/N;
+    rank^{k+1}(v) = (1-d)/N + d·(Σ_{u→v} rank^k(u)/outdeg(u) + D^k/N)
+    where D^k is the total rank parked on dangling nodes (no out-edges),
+    redistributed uniformly.
+
+    100 TB path: out-degree weights are folded into the edge table ONCE
+    before the loop (``w = 1/outdeg``), so each iteration is one
+    hash-partitioned join on ``src`` + one partially-combined ``sum``
+    keyed by ``dst`` — the same two-shuffle round as connected
+    components, reusing the node partitioning across iterations. The
+    dangling mass is a one-row broadcast (crossJoin of an aggregate), not
+    a driver collect, so the whole iteration stays in one lazy plan;
+    lineage is cut per round (reliable checkpoints apply, see
+    :func:`set_reliable_checkpoints`).
+
+    Restart safety mirrors :func:`connected_components`: pass a
+    ``plans.checkpoint.StageStore`` as ``state_store`` and each round's
+    rank table commits as ``{stage_prefix}_round_NNNN``; a rerun resumes
+    from the last committed round (each round is a deterministic function
+    of the previous ranks, so the resumed result is identical).
+    ``on_round(it)`` is a post-commit hook (fault injection in tests).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    weighted = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
+    )
+    weighted = _cut_lineage(weighted)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = _cut_lineage(ranks)
+    has_out = outdeg.select(F.col("src").alias("node"))
+    d = damping
+    start_it = 0
+    if state_store is not None:
+        done = sorted(
+            s for s in state_store.manifest()["stages"]
+            if s.startswith(f"{stage_prefix}_round_")
+        )
+        if done:
+            ranks = state_store.run(done[-1], lambda: ranks)
+            start_it = int(done[-1].rsplit("_", 1)[-1]) + 1
+    for it in range(start_it, iterations):
+        contrib = (
+            weighted.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.col("__dm") / n)
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it % checkpoint_every == 0):
+            ranks = _cut_lineage(ranks)
+        if state_store is not None:
+            ranks = state_store.run(
+                f"{stage_prefix}_round_{it:04d}", lambda r=ranks: r
+            )
+        if on_round is not None:
+            on_round(it)
+    return ranks

@@ -113,6 +113,79 @@ def derive_comention_edges(
     return scored.filter(F.col("n_pages") >= min_pages)
 
 
+def comention_pmi(
+    linked: DataFrame,
+    min_pages: int = 1,
+    id_col: str = "url",
+    entity_col: str = "curie",
+) -> DataFrame:
+    """Pointwise mutual information for co-mentioned entity pairs — the
+    principled weight for the co-mention edges (raw ``n_pages`` counts
+    favor ubiquitous entities; PMI corrects for marginal frequency).
+    ``pmi(a,b) = ln(N·c_ab / (c_a·c_b))`` where counts are PAGE counts
+    (an entity counts once per page no matter how often it's mentioned)
+    and ``N`` is the number of pages with ≥1 linked mention — derived
+    from ``linked`` alone, so the operator is self-contained. Returns
+    ``[c1, c2, n_pages, n1, n2, pmi]`` with ``c1 < c2``.
+
+    100 TB path: pair generation is the same single-pass per-page
+    sorted-set explode as :func:`derive_comention_edges` (quadratic only
+    within a page); the entity marginals form a vocabulary-sized dim that
+    broadcasts to the pair table; N is a one-row broadcast. The only
+    corpus-scale shuffles are the (page, entity) distinct and the
+    pair-count aggregation, both partially combined map-side.
+    """
+    pe = linked.select(
+        F.col(id_col).alias("__pg"), F.col(entity_col).alias("__e")
+    ).distinct()
+    n_pages_total = pe.select("__pg").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    marginals = pe.groupBy("__e").agg(F.count(F.lit(1)).alias("__c"))
+    page_sets = pe.groupBy("__pg").agg(
+        F.sort_array(F.collect_set("__e")).alias("__cs")
+    )
+    cs = F.col("__cs")
+    pair_structs = F.flatten(
+        F.transform(
+            cs,
+            lambda x, i: F.transform(
+                F.slice(cs, i + F.lit(2), F.size(cs)),
+                lambda y: F.struct(x.alias("c1"), y.alias("c2")),
+            ),
+        )
+    )
+    pair_counts = (
+        page_sets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.c1").alias("c1"), F.col("__p.c2").alias("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    m1 = F.broadcast(
+        marginals.select(F.col("__e").alias("c1"), F.col("__c").alias("n1"))
+    )
+    m2 = F.broadcast(
+        marginals.select(F.col("__e").alias("c2"), F.col("__c").alias("n2"))
+    )
+    return (
+        pair_counts.join(m1, "c1")
+        .join(m2, "c2")
+        .crossJoin(F.broadcast(n_pages_total))
+        .select(
+            "c1",
+            "c2",
+            "n_pages",
+            "n1",
+            "n2",
+            F.log(
+                (F.col("n_pages").cast("double") * F.col("__n"))
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("pmi"),
+        )
+    )
+
+
 def edges_for_construction(comention_edges: DataFrame) -> DataFrame:
     """Adapt scored co-mention edges to the constructor input contract.
 

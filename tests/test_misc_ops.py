@@ -369,3 +369,98 @@ def test_connected_components_kill_resume(spark, tmp_path):
     }
     assert ts_after == {t for t in ts_before if t[0] in committed}
     assert len(store.manifest()["stages"]) > 2  # resume added rounds
+
+
+def test_pagerank(spark):
+    from pheknowlator_spark.operators.graph_algos import pagerank
+
+    # a -> b, a -> c, b -> c, c dangling; d -> a in its own chain
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    iters, d = 4, 0.85
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, damping=d, iterations=iters).collect()
+    }
+
+    # reference power iteration (same semantics: dangling mass uniform)
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": ["b", "c"], "b": ["c"], "d": ["a"]}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += rank[u] / len(vs)
+        dm = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1.0 - d) / n + d * (contrib[v] + dm / n) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # c receives from both a and b -> highest rank
+    assert max(got, key=got.get) == "c"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+
+
+def test_pagerank_kill_resume(spark, tmp_path):
+    """Same failure-injection contract as the CC test: kill PageRank
+    after round 1's rank commit, resume, assert rank-table equality with
+    an uninterrupted run and untouched pre-kill lineage."""
+    import pytest
+
+    from pheknowlator_spark.operators.graph_algos import pagerank
+    from pheknowlator_spark.plans.checkpoint import StageStore
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{(i * 7 + 1) % 20:02d}") for i in range(20)]
+        + [("n00", "n05"), ("n03", "n05")],
+        "src string, dst string",
+    )
+    fresh = {
+        r.node: r.rank for r in pagerank(edges, iterations=4).collect()
+    }
+
+    store = StageStore(spark, str(tmp_path / "pr_state"))
+
+    class Boom(RuntimeError):
+        pass
+
+    def killer(it):
+        if it == 1:
+            raise Boom("simulated driver loss after round 1 commit")
+
+    with pytest.raises(Boom):
+        pagerank(edges, iterations=4, state_store=store, on_round=killer)
+    assert store.manifest()["stages"] == ["pr_round_0000", "pr_round_0001"]
+    ts_before = {
+        (r.stage, r.ts)
+        for r in store.lineage().select("stage", "ts").collect()
+    }
+
+    resumed = pagerank(edges, iterations=4, state_store=store)
+    got = {r.node: r.rank for r in resumed.collect()}
+    assert set(got) == set(fresh)
+    for v, r in fresh.items():
+        assert abs(got[v] - r) < 1e-15, v
+    # rounds 0-1 resumed from their snapshots, rounds 2-3 freshly added
+    assert store.manifest()["stages"] == [
+        f"pr_round_{i:04d}" for i in range(4)
+    ]
+    ts_after = {
+        (r.stage, r.ts)
+        for r in store.lineage().select("stage", "ts").collect()
+        if r.stage in ("pr_round_0000", "pr_round_0001")
+    }
+    assert ts_after == {
+        t for t in ts_before if t[0] in ("pr_round_0000", "pr_round_0001")
+    }

@@ -205,3 +205,65 @@ def test_chunk_documents_single_narrow_stage(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan  # no shuffle anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_broadcasts_lm(spark):
+    """The unigram LM and its (T, V) stats row are dimension-sized and
+    must broadcast: scoring is one BroadcastHashJoin + broadcast nested
+    loop for the one-row stats — never a sort-merge shuffle of tokens
+    against tokens."""
+    import __spark_entry__ as e
+
+    df = e.q_lm_score(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_dedup_partial_aggregation(spark):
+    """The corpus-frequency groupBy on the segment hash must partially
+    combine map-side (HashAggregate pairs), and the verdict join is keyed
+    on the 8-byte hash, all JVM-side."""
+    import __spark_entry__ as e
+
+    df = e.q_segment_dedup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final pairs
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_broadcasts_dangling_mass(spark):
+    """Each power-iteration round joins the one-row dangling aggregate by
+    broadcast (no shuffle for the scalar) and sums contributions via a
+    partially-combined HashAggregate; no Python evaluation anywhere.
+    checkpoint_every=0 keeps the iterative plan visible (the production
+    per-round lineage cut would truncate it to an ExistingRDD scan)."""
+    from pheknowlator_spark.operators.graph_algos import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 7}", f"t{i % 11}") for i in range(40)],
+        "src string, dst string",
+    )
+    plan = plan_of(pagerank(edges, iterations=2, checkpoint_every=0))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """Cell assignment crossJoins the broadcast centroid table and
+    reduces via min_by hash aggregation (no window sort); the pairwise
+    stage joins on centroid_id only."""
+    from pheknowlator_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    df = semantic_dedup(vecs, threshold=0.9, n_centroids=4)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

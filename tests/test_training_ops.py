@@ -773,3 +773,75 @@ def test_semantic_dedup(spark):
     # threshold above any cosine: everything kept
     all_keep = semantic_dedup(vecs, threshold=1.01, n_centroids=3)
     assert all(r.keep for r in all_keep.collect())
+
+
+def test_tfidf_topk(spark):
+    from pheknowlator_spark.operators.corpus import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry durian  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.rank)
+
+    import math
+
+    def idf(df, n=3):
+        return math.log((1.0 + n) / (1.0 + df)) + 1.0
+
+    # doc0: apple tf=2 df=1 beats banana tf=1 df=2
+    assert [r.term for r in by_doc[0]] == ["apple", "banana"]
+    assert by_doc[0][0].tf == 2 and by_doc[0][0].df == 1
+    assert abs(by_doc[0][0].tfidf - 2 * idf(1)) < 1e-12
+    # doc1: banana and cherry tie on tf=1 df=2 -> term-ascending break
+    assert [r.term for r in by_doc[1]] == ["banana", "cherry"]
+    assert [r.rank for r in by_doc[1]] == [1, 2]
+    # doc2: cherry tf=2; trailing whitespace must not mint an empty term
+    assert [r.term for r in by_doc[2]] == ["cherry", "durian"]
+    assert all(r.term != "" for r in rows)
+    # k larger than the vocabulary: every (doc, term) pair survives
+    assert len(tfidf_topk(docs, k=100).collect()) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tfidf_topk(docs, k=0)
+
+
+def test_lm_score(spark):
+    import math
+
+    from pheknowlator_spark.operators.corpus import lm_score
+
+    ref = spark.createDataFrame(
+        [(100, "a a b")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "a b"),    # both in-vocab
+            (1, "z"),      # OOV floor
+            (2, "   "),    # no tokens -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    # LM: c_a=2, c_b=1, T=3, V=2 -> p(a)=3/5, p(b)=2/5, oov=1/5
+    out = {r.doc_id: r for r in lm_score(docs, ref).collect()}
+    assert set(out) == {0, 1}
+    exp0 = (math.log(3 / 5) + math.log(2 / 5)) / 2
+    assert out[0].n_tokens == 2
+    assert abs(out[0].avg_logp - exp0) < 1e-12
+    assert abs(out[0].ppl - math.exp(-exp0)) < 1e-9
+    # pure-OOV doc: ppl is exactly the smoothed denominator T+V
+    assert abs(out[1].avg_logp - math.log(1 / 5)) < 1e-12
+    assert abs(out[1].ppl - 5.0) < 1e-9
+    # fluent text scores lower perplexity than garble
+    assert out[0].ppl < out[1].ppl

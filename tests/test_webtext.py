@@ -233,3 +233,31 @@ def test_generate_pages_clustered_skew(spark):
     a = sorted((r.url, len(r.text)) for r in pages.collect())
     b = sorted((r.url, len(r.text)) for r in again.collect())
     assert a == b
+
+
+def test_comention_pmi(spark):
+    import math
+
+    from pheknowlator_spark.webtext.pipeline import comention_pmi
+
+    linked = spark.createDataFrame(
+        [
+            ("u1", "A"), ("u1", "B"), ("u1", "A"),  # dup mention collapses
+            ("u2", "A"), ("u2", "B"),
+            ("u3", "A"), ("u3", "C"),
+            ("u4", "D"),                            # lone entity, no pair
+        ],
+        "url string, curie string",
+    )
+    rows = {(r.c1, r.c2): r for r in comention_pmi(linked).collect()}
+    # N=4 pages; page counts: A=3 B=2 C=1 D=1; pairs: (A,B)x2, (A,C)x1
+    assert set(rows) == {("A", "B"), ("A", "C")}
+    ab = rows[("A", "B")]
+    assert (ab.n_pages, ab.n1, ab.n2) == (2, 3, 2)
+    assert abs(ab.pmi - math.log((2 * 4) / (3 * 2))) < 1e-12
+    ac = rows[("A", "C")]
+    assert (ac.n_pages, ac.n1, ac.n2) == (1, 3, 1)
+    assert abs(ac.pmi - math.log(4 / 3)) < 1e-12
+    # min_pages drops the single-page pair
+    only = {(r.c1, r.c2) for r in comention_pmi(linked, min_pages=2).collect()}
+    assert only == {("A", "B")}
