@@ -340,6 +340,171 @@ def q_pagerank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def q_triangle_stats(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient on the
+    co-supplier graph (suppliers sharing an order, lineitem-derived) —
+    the networkx-statistics companions of graph_stats. The coefficient is
+    one exact integer division (2t / d(d−1)) so the DuckDB oracle matches
+    bit-for-bit with no rounding."""
+    from pheknowlator_spark.operators.graph_algos import triangle_stats
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_stats(pairs)
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction (Jaccard + Adamic-Adar) on a
+    sparsified co-supplier graph — KG-completion candidate generation.
+    Jaccard is one exact division; Adamic-Adar is the only float sum
+    (9 dp, few terms per pair)."""
+    from pheknowlator_spark.operators.graph_algos import link_prediction_scores
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return link_prediction_scores(pairs, min_common=2)
+
+
+def q_bfs_depths(spark, sf_dir):
+    """Min-hop BFS depth below the synthetic 'world' root over the
+    world→region→nation→customer tree (the ontology-depth statistic;
+    oracle is a recursive CTE taking min(depth) per node)."""
+    from pheknowlator_spark.operators.graph_algos import bfs_depths
+
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == 0
+    )
+    edges = (
+        region.select(
+            F.lit("world").alias("src"),
+            F.concat(F.lit("R"), F.col("r_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+            )
+        )
+    )
+    roots = spark.createDataFrame([("world",)], ["node"])
+    return bfs_depths(edges, roots)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: every purchase event matched to the user's latest view
+    event at-or-before it (NULL columns when the user never viewed).
+    Right rows sharing a (user, ts) collapse deterministically to the max
+    event_id before matching; the oracle is DuckDB's native ASOF LEFT
+    JOIN over the identically-deduplicated view stream."""
+    from pheknowlator_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["event_id", "value"],
+        suffix="_view",
+    )
+
+
+def q_funnel_counts(spark, sf_dir):
+    """Strict-sequence funnel view→click→purchase: step i+1 counts only
+    events at-or-after the user's earliest completion of step i."""
+    from pheknowlator_spark.operators.temporal import funnel_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_negative_triples(spark, sf_dir):
+    """Deterministic md5-ranked negative sampling for KG-embedding
+    training (2 object-corrupted negatives per positive, per-predicate
+    candidate pool of 16): the step after the reference's S13
+    integer-triple export. Pure hash choice — no RNG — so the DuckDB
+    oracle replays the identical draw with arg_min over the same md5."""
+    from pheknowlator_spark.operators.kg_train import negative_triples
+
+    t = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("s"),
+            F.col("l_returnflag").alias("p"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("o"),
+        )
+        .distinct()
+    )
+    return negative_triples(t, k=2, pool_size=16)
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucketed point-in-interval join: every click landing inside a
+    45-minute window opened by an error event of the same user. The
+    bucketed (key, hour-bucket) equality join + exact BETWEEN filter is
+    compared against DuckDB's plain range-predicate join."""
+    from pheknowlator_spark.operators.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 45 minutes")).alias("end"),
+    )
+    return interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_start="start",
+        right_end="end",
+        bucket="1 hour",
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-3 keywords by smoothed TF-IDF; tf/df are exact
     integers, tfidf rounded to 9 dp (one deterministic ln per term —
@@ -502,6 +667,18 @@ def q_comention_pmi(spark, sf_dir):
         "c1", "c2", "n_pages", "n1", "n2",
         F.round("pmi", 9).alias("pmi"),
     )
+
+
+def q_comention_wilson(spark, sf_dir):
+    """Wilson-score lower bound on co-mention precision (k = co-mention
+    pages, n = min of the two entities' page counts, z = 1.96) — the
+    confidence-adjusted edge weight. The oracle replays the identical
+    IEEE expression order, so 9-dp rounding is belt-and-braces."""
+    from pheknowlator_spark.webtext.mentions import detect_mentions
+    from pheknowlator_spark.webtext.pipeline import comention_wilson
+
+    mentions = detect_mentions(_doc_pages(spark, sf_dir), _doc_dictionary(spark))
+    return comention_wilson(mentions, min_pages=2)
 
 
 def q_events_windowed(spark, sf_dir):
@@ -1393,6 +1570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "transitive_closure": q_transitive_closure,
         "pagerank": q_pagerank,
+        "triangle_stats": q_triangle_stats,
+        "bfs_depths": q_bfs_depths,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "negative_triples": q_negative_triples,
+        "link_prediction": q_link_prediction,
+        "funnel_counts": q_funnel_counts,
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
         "integer_id_map": q_integer_id_map,
@@ -1405,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": q_mentions,
         "comention_edges": q_comention_edges,
         "comention_pmi": q_comention_pmi,
+        "comention_wilson": q_comention_wilson,
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "edge_type_stats": q_edge_type_stats,
@@ -2151,6 +2336,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg m2 ON pc.c2 = m2.curie
             CROSS JOIN nn
         """,
+        # Wilson lower bound replayed with the identical IEEE op order:
+        # p = k/n, lb = (p + z²/(2n) − z·sqrt((p(1−p) + z²/(4n))/n))
+        #              / (1 + z²/n), z = 1.96
+        "comention_wilson": f"""
+            WITH {_MENTIONS_CTE.strip()},
+            pe AS (SELECT DISTINCT doc_id, curie FROM mentions),
+            marg AS (SELECT curie, count(*) AS c FROM pe GROUP BY curie),
+            pairs AS (
+              SELECT x.curie AS c1, y.curie AS c2
+              FROM pe x JOIN pe y
+                ON x.doc_id = y.doc_id AND x.curie < y.curie),
+            pc AS (
+              SELECT c1, c2, count(*) AS n_pages FROM pairs
+              GROUP BY c1, c2 HAVING count(*) >= 2),
+            j AS (
+              SELECT pc.c1, pc.c2, pc.n_pages,
+                     least(m1.c, m2.c) AS n_trials,
+                     CAST(least(m1.c, m2.c) AS DOUBLE) AS n,
+                     CAST(pc.n_pages AS DOUBLE)
+                       / CAST(least(m1.c, m2.c) AS DOUBLE) AS p
+              FROM pc
+              JOIN marg m1 ON pc.c1 = m1.curie
+              JOIN marg m2 ON pc.c2 = m2.curie)
+            SELECT c1, c2, n_pages, n_trials,
+                   round(
+                     (p + (1.96 * 1.96) / (2.0 * n)
+                        - 1.96 * sqrt((p * (1.0 - p)
+                                       + (1.96 * 1.96) / (4.0 * n)) / n))
+                     / (1.0 + (1.96 * 1.96) / n), 9) AS wilson_lb
+            FROM j
+        """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS cnt
@@ -2346,6 +2562,190 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_oracle_sql(k=8, iters=2),
         # power-iteration PageRank unrolled as CTEs (5 iterations, d=0.85)
         "pagerank": _pagerank_oracle_sql(iterations=5, damping=0.85),
+        # node-iterator triangle enumeration on the oriented (a<b) edge
+        # list; coefficient is one exact division (no rounding needed)
+        "triangle_stats": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_orderkey % 37 = 0
+            ),
+            und AS (
+              SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey < y.l_suppkey
+            ),
+            deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und
+              ) GROUP BY node
+            ),
+            tri AS (
+              SELECT e1.a, e1.b, e2.b AS c
+              FROM und e1 JOIN und e2 ON e1.b = e2.a
+              WHERE EXISTS (SELECT 1 FROM und e3
+                            WHERE e3.a = e1.a AND e3.b = e2.b)
+            ),
+            tcnt AS (
+              SELECT node, count(*) AS triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+              ) GROUP BY node
+            )
+            SELECT deg.node, deg.degree,
+                   coalesce(tcnt.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN (2.0 * coalesce(tcnt.triangles, 0))
+                             / (deg.degree * (deg.degree - 1))
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        """,
+        # wedge join on the middle node z: each common neighbor yields the
+        # (a,b) pair once, so count(*) = |N(a) ∩ N(b)|; existing edges
+        # anti-joined out; jaccard exact, adamic-adar rounded at 9 dp
+        "link_prediction": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_orderkey % 97 = 0
+            ),
+            und AS (
+              SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey < y.l_suppkey
+            ),
+            adj AS (
+              SELECT a AS z, b AS n FROM und
+              UNION ALL SELECT b AS z, a AS n FROM und
+            ),
+            deg AS (SELECT z, count(*) AS degree FROM adj GROUP BY z),
+            pairs AS (
+              SELECT x.n AS a, y.n AS b, d.degree AS dz
+              FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+              JOIN deg d ON d.z = x.z
+            ),
+            scored AS (
+              SELECT a, b, count(*) AS common_neighbors,
+                     sum(1.0 / ln(dz)) AS aa
+              FROM pairs GROUP BY a, b HAVING count(*) >= 2
+            )
+            SELECT s.a, s.b, s.common_neighbors,
+                   CAST(s.common_neighbors AS DOUBLE)
+                     / (da.degree + db.degree - s.common_neighbors)
+                       AS jaccard,
+                   round(s.aa, 9) AS adamic_adar
+            FROM scored s
+            JOIN deg da ON da.z = s.a
+            JOIN deg db ON db.z = s.b
+            WHERE NOT EXISTS (SELECT 1 FROM und u
+                              WHERE u.a = s.a AND u.b = s.b)
+        """,
+        # recursive min-hop walk down the world→region→nation→customer tree
+        "bfs_depths": """
+            WITH RECURSIVE edges AS (
+              SELECT 'world' AS src, 'R' || r_regionkey AS dst FROM region
+              UNION ALL
+              SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+              UNION ALL
+              SELECT 'N' || c_nationkey, 'c' || c_custkey FROM customer
+              WHERE c_custkey % 5 = 0
+            ),
+            walk AS (
+              SELECT 'world' AS node, CAST(0 AS BIGINT) AS depth
+              UNION ALL
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+            )
+            SELECT node, min(depth) AS depth FROM walk GROUP BY node
+        """,
+        # strict-sequence funnel: each step's per-user min ts constrained
+        # to at-or-after the previous step's completion
+        "funnel_counts": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+            UNION ALL
+            SELECT 1, 'click', count(*) FROM s1
+            UNION ALL
+            SELECT 2, 'purchase', count(*) FROM s2
+        """,
+        # the identical md5-ranked draw: per-predicate pool = 16 smallest
+        # md5(p|o), slot winner = arg_min md5(s|p|o|j|cand)
+        "negative_triples": """
+            WITH t AS (
+              SELECT DISTINCT 'O' || l_orderkey AS s, l_returnflag AS p,
+                     'P' || l_partkey AS o
+              FROM lineitem WHERE l_orderkey % 5 = 0
+            ),
+            pool AS (
+              SELECT p, o AS cand FROM (
+                SELECT p, o,
+                       row_number() OVER (
+                         PARTITION BY p
+                         ORDER BY md5(p || '|' || o), o) AS r
+                FROM (SELECT DISTINCT p, o FROM t)
+              ) WHERE r <= 16
+            ),
+            cand AS (
+              SELECT t.s, t.p, t.o, j.neg_idx, pool.cand
+              FROM t
+              CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS neg_idx) j
+              JOIN pool ON pool.p = t.p AND pool.cand <> t.o
+            )
+            SELECT s, p, o, neg_idx,
+                   arg_min(cand, md5(s || '|' || p || '|' || o || '|'
+                                     || neg_idx || '|' || cand)) AS neg_o
+            FROM cand GROUP BY s, p, o, neg_idx
+        """,
+        # native ASOF LEFT JOIN over the max-event_id-deduplicated view
+        # stream (same (user, ts) collapse the Spark operator applies)
+        "asof_join": """
+            WITH v0 AS (
+              SELECT user_id, ts, max(event_id) AS event_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            v AS (
+              SELECT v0.user_id, v0.ts, v0.event_id, e.value
+              FROM v0 JOIN events e ON v0.event_id = e.event_id
+            ),
+            p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   v.ts AS ts_view, v.event_id AS event_id_view,
+                   v.value AS value_view
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # plain range-predicate join — the semantics the bucketed
+        # (key, bucket) equality join + BETWEEN filter must reproduce
+        "interval_join": """
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            e AS (
+              SELECT user_id, event_id AS err_id, ts AS start,
+                     ts + INTERVAL '45 minutes' AS "end"
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   e.err_id, e.start, e."end"
+            FROM c JOIN e ON c.user_id = e.user_id
+                         AND c.ts BETWEEN e.start AND e."end"
+        """,
         # smoothed TF-IDF top-3 keywords per document: exact integer
         # tf/df, sklearn idf = ln((1+N)/(1+df)) + 1, (tfidf DESC, term)
         # ranking — same deterministic tie-break as the Spark window

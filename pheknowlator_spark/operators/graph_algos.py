@@ -7,6 +7,10 @@
   (kg_utils.py:373-399 recursive walk) as iterative self-join to fixpoint.
 * ``assign_integer_ids`` — S13/W2 dense id assignment
   (kg_utils.py:653-699) without a single-partition window.
+* ``pagerank`` — power-iteration node importance over the built KG.
+* ``triangle_stats`` — per-node triangles + local clustering coefficient
+  (node-iterator++ oriented wedge join).
+* ``bfs_depths`` — min-hop depth from a root set (frontier BFS).
 
 Each iteration cuts lineage (SURVEY §4: checkpoint every iteration).
 ``set_reliable_checkpoints(spark, dir)`` switches the cut from
@@ -379,3 +383,207 @@ def pagerank(
         if on_round is not None:
             on_round(it)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected simple graph — the next two entries of the graph-statistics
+    family the reference computes with networkx (kg_utils.py:473-481's
+    density/degree report; triangles/clustering are the standard
+    companions networkx exposes on the same graph object). Returns
+    ``[node, degree, triangles, clustering_coeff]`` for every node, where
+    ``clustering_coeff = 2·triangles / (degree·(degree−1))`` (0.0 when
+    degree < 2).
+
+    Node-iterator++ plan (the MapReduce-classic): canonicalize each edge
+    low→high once, enumerate wedges by joining the oriented edge list
+    with itself on the middle node (so every triangle ``a<b<c`` is built
+    exactly once from ``(a,b)+(b,c)``), then semi-join the closing edge
+    ``(a,c)``. Orienting by id bounds the wedge join at
+    Σ min-degree products instead of Σ degree² — the standard skew
+    defense for power-law graphs; all three shuffles are keyed on node
+    ids (AQE skew-join applies). No windows, no driver state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    triangles = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "semi"
+    )
+    tri_per_node = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(tri_per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2.0) * F.coalesce("triangles", F.lit(0)))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    roots: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Minimum hop count from a root set along directed ``src → dst``
+    edges — the "ontology depth below root" statistic (the min-hop
+    companion of :func:`transitive_closure`'s reachability; the reference
+    walks the same hierarchy with per-node recursion,
+    kg_utils.py:373-399). Returns ``[node, depth]`` for every node
+    reachable from ``roots`` (roots themselves at depth 0); unreachable
+    nodes are absent.
+
+    Frontier BFS: each round expands only the newly-discovered frontier
+    (anti-join against the visited set), so total work is O(edges
+    reachable) across all rounds, not O(edges × depth). Both per-round
+    shuffles (the frontier join, the min-dedup of new nodes) are keyed on
+    node ids; lineage is cut per round (reliable checkpoints apply,
+    :func:`set_reliable_checkpoints`); the loop exits on the first empty
+    frontier via a ``limit(1).count()`` probe, never collecting state.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    e = _cut_lineage(e)
+    visited = (
+        roots.select(F.col(roots.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+    )
+    visited = _cut_lineage(visited)
+    frontier = visited
+    for it in range(1, max_iterations + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "anti")
+            .withColumn("depth", F.lit(it).cast("long"))
+        )
+        nxt = _cut_lineage(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = _cut_lineage(visited.unionByName(nxt))
+        frontier = nxt
+    return visited
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected simple graph —
+    KG-completion candidate generation: non-adjacent node pairs scored by
+    shared neighborhood. Returns ``[a, b, common_neighbors, jaccard,
+    adamic_adar]`` for every pair ``a < b`` NOT already an edge with at
+    least ``min_common`` common neighbors, where ``jaccard = |N(a)∩N(b)|
+    / |N(a)∪N(b)|`` and ``adamic_adar = Σ_z 1/ln(deg z)`` over the common
+    neighbors ``z`` (deg z ≥ 2 by construction, so the log never hits 0;
+    9-dp rounded — the only float summation).
+
+    Plan: symmetric adjacency once, candidate pairs from the wedge join
+    ``(z,a)⋈(z,b), a<b`` (each shared neighbor contributes the pair
+    exactly once, so ``count(*)`` IS the common-neighbor count), degree
+    dim joined on the middle node, one partially-combined aggregation per
+    pair, one anti-join to drop existing edges. Hub nodes contribute
+    deg² wedge pairs — the documented scale control is
+    ``max_neighbor_degree``: drop super-hubs as middle nodes (standard
+    practice; a celebrity node's common-neighbor signal is noise anyway),
+    turning the worst case from deg_max² into threshold². AQE skew-join
+    covers moderate skew when the cap is off.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("degree"))
+    mid = adj.select(F.col("n").alias("z"), F.col("z").alias("n")).join(
+        deg, "z"
+    )
+    if max_neighbor_degree is not None:
+        mid = mid.filter(F.col("degree") <= max_neighbor_degree)
+    pairs = (
+        mid.alias("x")
+        .join(mid.alias("y"), "z")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("b"),
+            F.col("x.degree").alias("__dz"),
+        )
+    )
+    scored = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("__dz"))).alias("__aa"),
+    )
+    da = deg.select(F.col("z").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("z").alias("b"), F.col("degree").alias("__db"))
+    return (
+        scored.filter(F.col("common_neighbors") >= min_common)
+        .join(und, ["a", "b"], "anti")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("__da") + F.col("__db") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            F.round("__aa", 9).alias("adamic_adar"),
+        )
+    )

@@ -186,6 +186,81 @@ def comention_pmi(
     )
 
 
+def comention_wilson(
+    linked: DataFrame,
+    z: float = 1.96,
+    min_pages: int = 1,
+    id_col: str = "url",
+    entity_col: str = "curie",
+) -> DataFrame:
+    """Wilson-score lower bound on co-mention precision — the
+    confidence-adjusted edge weight for thresholding corpus-derived
+    triples (raw counts can't distinguish 3/3 from 30/100; the Wilson
+    interval can). For each pair ``(c1, c2)`` with ``c1 < c2``: trials
+    ``n = min(pages(c1), pages(c2))`` (the maximum possible co-mention
+    count), successes ``k = co-mention pages``, and the lower bound of
+    the Wilson interval at confidence ``z`` on ``k/n``. Low-support edges
+    get pulled hard toward 0; high-support edges keep their rate.
+    Returns ``[c1, c2, n_pages, n_trials, wilson_lb]`` (9 dp).
+
+    Same plan shape as :func:`comention_pmi`: single-pass per-page pair
+    explode, vocabulary-sized marginal dim broadcast to the pair table,
+    two partially-combined corpus shuffles total. The score itself is
+    pure Column math in whole-stage codegen.
+    """
+    pe = linked.select(
+        F.col(id_col).alias("__pg"), F.col(entity_col).alias("__e")
+    ).distinct()
+    marginals = pe.groupBy("__e").agg(F.count(F.lit(1)).alias("__c"))
+    page_sets = pe.groupBy("__pg").agg(
+        F.sort_array(F.collect_set("__e")).alias("__cs")
+    )
+    cs = F.col("__cs")
+    pair_structs = F.flatten(
+        F.transform(
+            cs,
+            lambda x, i: F.transform(
+                F.slice(cs, i + F.lit(2), F.size(cs)),
+                lambda y: F.struct(x.alias("c1"), y.alias("c2")),
+            ),
+        )
+    )
+    pair_counts = (
+        page_sets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.c1").alias("c1"), F.col("__p.c2").alias("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    m1 = F.broadcast(
+        marginals.select(F.col("__e").alias("c1"), F.col("__c").alias("n1"))
+    )
+    m2 = F.broadcast(
+        marginals.select(F.col("__e").alias("c2"), F.col("__c").alias("n2"))
+    )
+    n = F.least(F.col("n1"), F.col("n2")).cast("double")
+    k = F.col("n_pages").cast("double")
+    p = k / n
+    z2 = F.lit(float(z) * float(z))
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(float(z))
+        * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return (
+        pair_counts.join(m1, "c1")
+        .join(m2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "n_pages",
+            F.least(F.col("n1"), F.col("n2")).alias("n_trials"),
+            F.round(lb, 9).alias("wilson_lb"),
+        )
+    )
+
+
 def edges_for_construction(comention_edges: DataFrame) -> DataFrame:
     """Adapt scored co-mention edges to the constructor input contract.
 
