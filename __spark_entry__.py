@@ -456,6 +456,14 @@ def q_funnel_counts(spark, sf_dir):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over the events table (cohort =
+    day of first activity; offset 0 row = cohort size)."""
+    from pheknowlator_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
 def q_negative_triples(spark, sf_dir):
     """Deterministic md5-ranked negative sampling for KG-embedding
     training (2 object-corrupted negatives per positive, per-predicate
@@ -1577,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_triples": q_negative_triples,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
         "integer_id_map": q_integer_id_map,
@@ -2656,6 +2665,23 @@ def oracle_sql() -> dict[str, str]:
               FROM walk w JOIN edges e ON e.src = w.node
             )
             SELECT node, min(depth) AS depth FROM walk GROUP BY node
+        """,
+        # cohort = day of first event; one distinct activity row per
+        # (user, day); offset in whole days
+        "cohort_retention": """
+            WITH first AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+              FROM events
+            )
+            SELECT f.cohort,
+                   date_diff('day', f.cohort, a.d) AS period_offset,
+                   count(*) AS n_users
+            FROM act a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         # strict-sequence funnel: each step's per-user min ts constrained
         # to at-or-after the previous step's completion

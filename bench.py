@@ -62,6 +62,15 @@ HEADLINE = [
     "segment_dedup",
     "pagerank",
     "lm_score",
+    # round 5 (second batch): temporal joins, graph statistics /
+    # KG-completion scoring, and embedding-training negative sampling
+    "asof_join",
+    "interval_join",
+    "funnel_counts",
+    "triangle_stats",
+    "link_prediction",
+    "negative_triples",
+    "comention_wilson",
 ]
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "funnel_counts", "interval_join"]
+__all__ = ["asof_join", "cohort_retention", "funnel_counts", "interval_join"]
 
 
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
@@ -246,3 +246,44 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    first event (the cohort), counted on every later period they were
+    active. Returns ``[cohort, period_offset, n_users]`` — offset 0 is
+    the cohort's own period, so its count is the cohort size.
+
+    Plan: one min-aggregation for first-activity (cohort dim, keyed on
+    user), one distinct over (user, period), one join keyed on user, one
+    final partially-combined aggregation — every shuffle is on the user
+    key or the small (cohort, offset) result key; no window, no driver
+    state. ``granularity`` is any ``date_trunc`` unit (day/week/month).
+    """
+    # cast to date so the grain matches ANSI date_trunc('day') (DATE,
+    # not midnight TIMESTAMP); sub-day granularities keep the timestamp
+    cast_to = "date" if granularity in ("day", "week", "month", "year") else "timestamp"
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(granularity, F.min(F.col(ts_col)))
+        .cast(cast_to)
+        .alias("cohort")
+    )
+    act = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(granularity, F.col(ts_col)).cast(cast_to).alias("__d"),
+    ).distinct()
+    return (
+        act.join(first, "__u")
+        .groupBy(
+            "cohort",
+            F.datediff(F.col("__d"), F.col("cohort"))
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

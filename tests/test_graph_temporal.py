@@ -121,6 +121,27 @@ def _ts(minute):
     return dt.datetime(2024, 1, 1, 0, minute)
 
 
+class TestCohortRetention:
+    def test_daily_matrix(self, spark):
+        d = dt.datetime
+        rows = [
+            # A first seen day 1, active days 1 and 3 (twice on day 3)
+            ("A", d(2024, 1, 1, 9)), ("A", d(2024, 1, 3, 8)), ("A", d(2024, 1, 3, 18)),
+            # B first seen day 1, active day 1 only
+            ("B", d(2024, 1, 1, 23)),
+            # C first seen day 3
+            ("C", d(2024, 1, 3, 1)),
+        ]
+        ev = spark.createDataFrame(rows, ["user_id", "ts"])
+        from pheknowlator_spark.operators.temporal import cohort_retention
+
+        got = {
+            (r["cohort"].day, r["period_offset"]): r["n_users"]
+            for r in cohort_retention(ev).collect()
+        }
+        assert got == {(1, 0): 2, (1, 2): 1, (3, 0): 1}
+
+
 class TestFunnelCounts:
     def test_strict_sequence(self, spark):
         rows = [
