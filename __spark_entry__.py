@@ -395,31 +395,8 @@ def q_bfs_depths(spark, sf_dir):
     oracle is a recursive CTE taking min(depth) per node)."""
     from pheknowlator_spark.operators.graph_algos import bfs_depths
 
-    region = _read(spark, sf_dir, "region")
-    nation = _read(spark, sf_dir, "nation")
-    customer = _read(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % 5 == 0
-    )
-    edges = (
-        region.select(
-            F.lit("world").alias("src"),
-            F.concat(F.lit("R"), F.col("r_regionkey")).alias("dst"),
-        )
-        .unionByName(
-            nation.select(
-                F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
-                F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
-            )
-        )
-        .unionByName(
-            customer.select(
-                F.concat(F.lit("N"), F.col("c_nationkey")).alias("src"),
-                F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
-            )
-        )
-    )
     roots = spark.createDataFrame([("world",)], ["node"])
-    return bfs_depths(edges, roots)
+    return bfs_depths(_tree_edges(spark, sf_dir), roots)
 
 
 def q_asof_join(spark, sf_dir):
@@ -483,6 +460,112 @@ def q_negative_triples(spark, sf_dir):
         .distinct()
     )
     return negative_triples(t, k=2, pool_size=16)
+
+
+def _tree_edges(spark, sf_dir):
+    """world→region→nation→customer tree (the bfs_depths graph)."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == 0
+    )
+    return (
+        region.select(
+            F.lit("world").alias("src"),
+            F.concat(F.lit("R"), F.col("r_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+            )
+        )
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style sequences (length 3, 2 walks/node)
+    over the world→region→nation→customer tree — the skip-gram corpus
+    generator for KG embeddings. Hops are md5-ranked hash draws, so the
+    DuckDB oracle replays the identical choice with arg_min over the
+    same key, level by level."""
+    from pheknowlator_spark.operators.kg_train import random_walks
+
+    return random_walks(_tree_edges(spark, sf_dir), length=3, num_walks=2)
+
+
+def q_khop_neighbors(spark, sf_dir):
+    """GraphSAGE-style 2-hop neighborhood sampling (fanouts 3, 2) on the
+    same tree — the md5-ranked per-node subsample every GNN mini-batch
+    trainer needs, replayed in the oracle with row_number over the
+    identical key."""
+    from pheknowlator_spark.operators.kg_train import khop_neighbors
+
+    return khop_neighbors(_tree_edges(spark, sf_dir), fanouts=(3, 2))
+
+
+def q_verbalize_triples(spark, sf_dir):
+    """KG→text verbalization (KELM-style): nation→region and
+    customer→nation triples rendered as one-sentence training documents
+    via three broadcast label joins; unlabeled ids (customers, the two
+    predicates) fall back to their local name."""
+    from pheknowlator_spark.operators.kg_train import verbalize_triples
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    triples = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("s"),
+        F.lit("http://pkt/rel#locatedIn").alias("p"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("o"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("s"),
+            F.lit("http://pkt/rel#citizenOf").alias("p"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("o"),
+        )
+    )
+    labels = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("id"),
+        F.col("n_name").alias("label"),
+    ).unionByName(
+        region.select(
+            F.concat(F.lit("R"), F.col("r_regionkey")).alias("id"),
+            F.col("r_name").alias("label"),
+        )
+    )
+    return verbalize_triples(triples, labels)
+
+
+def q_k_core(spark, sf_dir):
+    """3-core of the co-supplier graph (3 fixed peel rounds) — the
+    dense-backbone filter applied before embedding training; the oracle
+    replays the identical rounds as chained CTEs."""
+    from pheknowlator_spark.operators.graph_algos import k_core
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+    )
+    return k_core(pairs, k=3, rounds=3)
 
 
 def q_interval_join(spark, sf_dir):
@@ -1583,6 +1666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "negative_triples": q_negative_triples,
+        "random_walks": q_random_walks,
+        "khop_neighbors": q_khop_neighbors,
+        "verbalize_triples": q_verbalize_triples,
+        "k_core": q_k_core,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2668,6 +2755,139 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cohort = day of first event; one distinct activity row per
         # (user, day); offset in whole days
+        # the bfs_depths tree, shared by the walk/khop oracles
+        "random_walks": """
+            WITH e AS (
+              SELECT DISTINCT * FROM (
+                SELECT 'world' AS src, 'R' || r_regionkey AS dst FROM region
+                UNION ALL
+                SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+                UNION ALL
+                SELECT 'N' || c_nationkey, 'c' || c_custkey FROM customer
+                WHERE c_custkey % 5 = 0
+              )
+            ),
+            f0 AS (
+              SELECT start, walk, start AS node
+              FROM (SELECT DISTINCT src AS start FROM e)
+              CROSS JOIN (SELECT unnest([0, 1]) AS walk)
+            ),
+            f1 AS (
+              SELECT f.start, f.walk,
+                arg_min(e.dst, md5(concat_ws('|', f.start, f.walk, '1', e.dst))
+                               || '|' || e.dst) AS node
+              FROM f0 f JOIN e ON e.src = f.node GROUP BY f.start, f.walk
+            ),
+            f2 AS (
+              SELECT f.start, f.walk,
+                arg_min(e.dst, md5(concat_ws('|', f.start, f.walk, '2', e.dst))
+                               || '|' || e.dst) AS node
+              FROM f1 f JOIN e ON e.src = f.node GROUP BY f.start, f.walk
+            ),
+            f3 AS (
+              SELECT f.start, f.walk,
+                arg_min(e.dst, md5(concat_ws('|', f.start, f.walk, '3', e.dst))
+                               || '|' || e.dst) AS node
+              FROM f2 f JOIN e ON e.src = f.node GROUP BY f.start, f.walk
+            )
+            SELECT start, walk, 0 AS step, node FROM f0
+            UNION ALL SELECT start, walk, 1, node FROM f1
+            UNION ALL SELECT start, walk, 2, node FROM f2
+            UNION ALL SELECT start, walk, 3, node FROM f3
+        """,
+        "khop_neighbors": """
+            WITH e AS (
+              SELECT DISTINCT * FROM (
+                SELECT 'world' AS src, 'R' || r_regionkey AS dst FROM region
+                UNION ALL
+                SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+                UNION ALL
+                SELECT 'N' || c_nationkey, 'c' || c_custkey FROM customer
+                WHERE c_custkey % 5 = 0
+              )
+            ),
+            h1 AS (
+              SELECT seed, 1 AS hop, parent, child FROM (
+                SELECT s.seed, s.seed AS parent, e.dst AS child,
+                  row_number() OVER (PARTITION BY s.seed ORDER BY
+                    md5(concat_ws('|', s.seed, '1', s.seed, e.dst))
+                    || '|' || e.dst) AS r
+                FROM (SELECT DISTINCT src AS seed FROM e) s
+                JOIN e ON e.src = s.seed
+              ) WHERE r <= 3
+            ),
+            f1 AS (SELECT DISTINCT seed, child AS node FROM h1),
+            h2 AS (
+              SELECT seed, 2 AS hop, parent, child FROM (
+                SELECT f.seed, f.node AS parent, e.dst AS child,
+                  row_number() OVER (PARTITION BY f.seed, f.node ORDER BY
+                    md5(concat_ws('|', f.seed, '2', f.node, e.dst))
+                    || '|' || e.dst) AS r
+                FROM f1 f JOIN e ON e.src = f.node
+              ) WHERE r <= 2
+            )
+            SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        """,
+        # three broadcast label joins + local-name fallback, replayed
+        # with identical regexp/concat semantics
+        "verbalize_triples": """
+            WITH lab AS (
+              SELECT 'N' || n_nationkey AS id, n_name AS label FROM nation
+              UNION ALL
+              SELECT 'R' || r_regionkey, r_name FROM region
+            ),
+            t AS (
+              SELECT 'N' || n_nationkey AS s,
+                     'http://pkt/rel#locatedIn' AS p,
+                     'R' || n_regionkey AS o
+              FROM nation
+              UNION ALL
+              SELECT 'c' || c_custkey, 'http://pkt/rel#citizenOf',
+                     'N' || c_nationkey
+              FROM customer WHERE c_custkey % 7 = 0
+            ),
+            r AS (
+              SELECT t.s, t.p, t.o,
+                coalesce(ls.label, regexp_extract(t.s, '([^/#]*)$', 1)) AS sl,
+                coalesce(lp.label, regexp_extract(t.p, '([^/#]*)$', 1)) AS pl,
+                coalesce(lo.label, regexp_extract(t.o, '([^/#]*)$', 1)) AS ol
+              FROM t
+              LEFT JOIN lab ls ON t.s = ls.id
+              LEFT JOIN lab lp ON t.p = lp.id
+              LEFT JOIN lab lo ON t.o = lo.id
+            )
+            SELECT s, p, o,
+                   concat_ws(' ', sl, pl, ol) || '.' AS text,
+                   CAST(len(string_split(concat_ws(' ', sl, pl, ol) || '.',
+                                         ' ')) AS INTEGER) AS n_tokens
+            FROM r
+        """,
+        # 3 fixed peel rounds, each = degree filter + both-endpoints-kept
+        "k_core": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_orderkey % 37 = 0
+            ),
+            p AS (
+              SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+              FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_suppkey < y.l_suppkey
+            ),
+            e0 AS (
+              SELECT DISTINCT a, b FROM
+                (SELECT a, b FROM p UNION ALL SELECT b, a FROM p)
+            ),
+            k0 AS (SELECT a FROM e0 GROUP BY a HAVING count(*) >= 3),
+            e1 AS (SELECT e.a, e.b FROM e0 e
+                   JOIN k0 x ON e.a = x.a JOIN k0 y ON e.b = y.a),
+            k1 AS (SELECT a FROM e1 GROUP BY a HAVING count(*) >= 3),
+            e2 AS (SELECT e.a, e.b FROM e1 e
+                   JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+            k2 AS (SELECT a FROM e2 GROUP BY a HAVING count(*) >= 3),
+            e3 AS (SELECT e.a, e.b FROM e2 e
+                   JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a)
+            SELECT a AS node, count(*) AS degree FROM e3 GROUP BY a
+        """,
         "cohort_retention": """
             WITH first AS (
               SELECT user_id, date_trunc('day', min(ts)) AS cohort

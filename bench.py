@@ -71,6 +71,9 @@ HEADLINE = [
     "link_prediction",
     "negative_triples",
     "comention_wilson",
+    # round 5 (third batch): KG-embedding training data generators
+    "random_walks",
+    "k_core",
 ]
 
 

@@ -587,3 +587,76 @@ def link_prediction_scores(
             F.round("__aa", 9).alias("adamic_adar"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    on_round=None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling — the standard dense-
+    subgraph filter for pruning a noisy constructed KG to its reliably
+    connected backbone before embedding training. The graph is treated
+    as undirected (edges symmetrized + deduplicated); each round removes
+    every node whose degree has fallen below ``k`` and the edges touching
+    it. Returns ``[node, degree]`` for the surviving nodes with their
+    within-core degree.
+
+    ``rounds=None`` peels to the exact fixed point (the true k-core),
+    using one driver-side count per round as the convergence test — the
+    same bounded pattern as :func:`connected_components`. A fixed
+    ``rounds=N`` runs exactly N peel rounds (a closed-form function of
+    the input that a DuckDB oracle replays as N chained CTEs); once the
+    core is reached further rounds are no-ops, so a fixed N ≥ the peel
+    depth equals the exact core.
+
+    100 TB plan: a round is ONE partially-combined degree aggregation
+    keyed on the node + TWO left-semi hash joins (src kept, dst kept) —
+    all shuffles on the node key, reused across rounds; lineage is cut
+    per round (reliable checkpoints apply, see
+    :func:`set_reliable_checkpoints`). Peel depth is bounded by the
+    degeneracy ordering, typically tens of rounds on power-law graphs.
+    ``on_round(r, edges_df)`` is a pre-checkpoint hook (plan audits /
+    fault injection in tests, mirroring :func:`connected_components`).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds is not None and rounds < 1:
+        raise ValueError("rounds must be >= 1 or None")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = _cut_lineage(und)
+    prev_edges = None
+    r = 0
+    while True:
+        r += 1
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        if on_round is not None:
+            on_round(r, und)
+        und = _cut_lineage(und)
+        if rounds is not None:
+            if r >= rounds:
+                break
+        else:
+            n_edges = und.count()
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+    return und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["negative_triples"]
+__all__ = [
+    "khop_neighbors",
+    "negative_triples",
+    "random_walks",
+    "verbalize_triples",
+]
 
 
 def negative_triples(
@@ -83,4 +88,194 @@ def negative_triples(
     return (
         cand.groupBy("s", "p", "o", "neg_idx")
         .agg(F.min_by(F.col("__cand"), rank).alias("neg_o"))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 3,
+    num_walks: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic fixed-length walks from every node with out-edges —
+    the sequence generator for skip-gram KG embeddings (DeepWalk/node2vec
+    style) over the constructed graph. Returns ``[start, walk, step,
+    node]`` with ``step`` 0 being the start node itself; a walk ends
+    early at a node with no out-edges.
+
+    The "random" hop is a pure hash draw: step ``t`` of walk ``w`` from
+    ``start`` moves to the out-neighbor minimizing
+    ``md5(start|w|t|neighbor) || '|' || neighbor`` — no RNG, so every
+    rerun, resume, and cluster size emits byte-identical corpora, and a
+    DuckDB oracle can replay the draw with ``arg_min`` over the same key.
+
+    100 TB plan: each of the ``length`` steps is ONE hash join keyed on
+    the current node + ONE partially-combined ``min_by`` keyed on the
+    walk id — two shuffles per step, linear in walk length, no window
+    over the edge table and no per-walk Python. Walk count multiplies
+    only the frontier (walks × nodes), never the edge side.
+    """
+    if length < 1 or num_walks < 1:
+        raise ValueError("length and num_walks must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("__es"), F.col(dst).alias("__ed"))
+        .filter(F.col("__es").isNotNull() & F.col("__ed").isNotNull())
+        .distinct()
+    )
+    frontier = (
+        e.select(F.col("__es").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(num_walks) - 1))
+            ).alias("walk"),
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = frontier.select("start", "walk", F.lit(0).alias("step"), "node")
+    for t in range(1, length + 1):
+        rank = F.concat_ws(
+            "|",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("start"),
+                    F.col("walk"),
+                    F.lit(t),
+                    F.col("__ed"),
+                )
+            ),
+            F.col("__ed"),
+        )
+        frontier = (
+            frontier.join(e, frontier["node"] == e["__es"])
+            .groupBy("start", "walk")
+            .agg(F.min_by(F.col("__ed"), rank).alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select("start", "walk", F.lit(t).alias("step"), "node")
+        )
+    return out
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    fanouts: "tuple[int, ...]" = (2, 2),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighborhood sampling: for every
+    node, expand ``len(fanouts)`` hops keeping at most ``fanouts[h]``
+    out-neighbors per expanded node, ranked by
+    ``md5(seed|hop|parent|child) || '|' || child`` (a per-seed hash
+    subsample — no RNG, reproducible across reruns and resumes, and
+    SQL-replayable with ``row_number`` over the identical key). Returns
+    ``[seed, hop, parent, child]`` — the sampled computation graph each
+    GNN mini-batch trainer needs.
+
+    100 TB plan: hop ``h`` is ONE hash join keyed on the frontier node +
+    ONE top-``f`` ranking windowed on the expansion key (seed, parent) —
+    the window sorts only each node's sampled adjacency list (bounded by
+    max out-degree), never a corpus-global ordering. Fanout caps make
+    the frontier grow at most ``∏ fanouts``-fold per seed, so the output
+    stays linear in nodes for constant fanouts.
+    """
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError("fanouts must be a non-empty tuple of >= 1 ints")
+    e = (
+        edges.select(F.col(src).alias("__es"), F.col(dst).alias("__ed"))
+        .filter(F.col("__es").isNotNull() & F.col("__ed").isNotNull())
+        .distinct()
+    )
+    frontier = e.select(F.col("__es").alias("seed")).distinct().withColumn(
+        "node", F.col("seed")
+    )
+    out = None
+    for h, f in enumerate(fanouts, start=1):
+        rank_key = F.concat_ws(
+            "|",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("seed"), F.lit(h), F.col("node"), F.col("__ed")
+                )
+            ),
+            F.col("__ed"),
+        )
+        w = Window.partitionBy("seed", "node").orderBy(rank_key)
+        hop = (
+            frontier.join(e, frontier["node"] == e["__es"])
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(f))
+            .select(
+                "seed",
+                F.lit(h).alias("hop"),
+                F.col("node").alias("parent"),
+                F.col("__ed").alias("child"),
+            )
+        )
+        out = hop if out is None else out.unionByName(hop)
+        frontier = hop.select("seed", F.col("child").alias("node")).distinct()
+    return out
+
+
+def verbalize_triples(
+    triples: DataFrame,
+    labels: DataFrame,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """KG→text verbalization: render every triple as a one-sentence
+    training document ("<s label> <p label> <o label>."), the standard
+    way a constructed KG is folded back into an LM pretraining corpus
+    (KELM-style). Labels come from the provided ``labels`` dim table
+    (id → label, e.g. the reference's NodeLabels export, S15); an id with
+    no label falls back to its local name (the segment after the last
+    ``/`` or ``#``), mirroring the reference's label formatter. Returns
+    ``[s, p, o, text, n_tokens]`` with ``n_tokens`` the whitespace token
+    count of the sentence.
+
+    100 TB plan: the label dim is vocabulary-sized and joined with THREE
+    broadcast hash joins (s, p, o) — zero corpus-side shuffles; the
+    sentence assembly and token count are pure Column expressions in
+    whole-stage codegen.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+    )
+
+    def resolved(col_name, alias):
+        return F.coalesce(
+            F.col(f"__lab_{alias}"),
+            F.regexp_extract(F.col(col_name), "([^/#]*)$", 1),
+        )
+
+    t = triples.select(
+        F.col(s).alias("s"), F.col(p).alias("p"), F.col(o).alias("o")
+    )
+    for c in ("s", "p", "o"):
+        t = t.join(
+            F.broadcast(
+                lab.select(
+                    F.col("__id").alias(f"__id_{c}"),
+                    F.col("__lab").alias(f"__lab_{c}"),
+                )
+            ),
+            t[c] == F.col(f"__id_{c}"),
+            "left",
+        )
+    text = F.concat_ws(
+        " ", resolved("s", "s"), resolved("p", "p"), resolved("o", "o")
+    )
+    text = F.concat(text, F.lit("."))
+    return t.select(
+        "s",
+        "p",
+        "o",
+        text.alias("text"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
     )

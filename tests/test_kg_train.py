@@ -91,3 +91,128 @@ class TestComentionWilson:
         linked = spark.createDataFrame(rows, ["url", "curie"])
         out = {(r["c1"], r["c2"]): r for r in comention_wilson(linked, min_pages=2).collect()}
         assert out[("X", "Y")]["wilson_lb"] > out[("P", "Q")]["wilson_lb"]
+
+
+class TestRandomWalks:
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+
+    def test_hash_draw_matches_hand_replay(self, spark):
+        from pheknowlator_spark.operators.kg_train import random_walks
+
+        edges = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        rows = random_walks(edges, length=2, num_walks=2).collect()
+        adj = {}
+        for s, d in self.EDGES:
+            adj.setdefault(s, []).append(d)
+        # replay: start nodes = {a,b,c,d}, walk ∈ {0,1}
+        expect = {}
+        for start in sorted(adj):
+            for walk in (0, 1):
+                node = start
+                expect[(start, walk, 0)] = node
+                for t in (1, 2):
+                    cands = adj.get(node)
+                    if not cands:
+                        break
+                    node = min(
+                        cands,
+                        key=lambda c: _md5(f"{start}|{walk}|{t}|{c}") + "|" + c,
+                    )
+                    expect[(start, walk, t)] = node
+        got = {(r["start"], r["walk"], r["step"]): r["node"] for r in rows}
+        assert got == expect
+
+    def test_walk_stops_at_sink(self, spark):
+        from pheknowlator_spark.operators.kg_train import random_walks
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        rows = random_walks(edges, length=3).collect()
+        # a→b then b is a sink: steps 0 and 1 only
+        assert sorted((r["step"], r["node"]) for r in rows) == [(0, "a"), (1, "b")]
+
+    def test_rejects_bad_params(self, spark):
+        from pheknowlator_spark.operators.kg_train import random_walks
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with pytest.raises(ValueError):
+            random_walks(edges, length=0)
+        with pytest.raises(ValueError):
+            random_walks(edges, num_walks=0)
+
+
+class TestKhopNeighbors:
+    def test_fanout_caps_and_hash_ranking(self, spark):
+        from pheknowlator_spark.operators.kg_train import khop_neighbors
+
+        edges = spark.createDataFrame(
+            [("a", f"b{i}") for i in range(5)] + [("b0", "x"), ("b0", "y")],
+            ["src", "dst"],
+        )
+        rows = khop_neighbors(edges, fanouts=(2, 2)).collect()
+        hop1 = sorted(r["child"] for r in rows if r["seed"] == "a" and r["hop"] == 1)
+        expect = sorted(
+            sorted(
+                [f"b{i}" for i in range(5)],
+                key=lambda c: _md5(f"a|1|a|{c}") + "|" + c,
+            )[:2]
+        )
+        assert hop1 == expect
+        # hop 2 only expands sampled hop-1 children
+        hop2_parents = {r["parent"] for r in rows if r["seed"] == "a" and r["hop"] == 2}
+        assert hop2_parents <= set(hop1)
+
+    def test_rejects_bad_fanouts(self, spark):
+        from pheknowlator_spark.operators.kg_train import khop_neighbors
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with pytest.raises(ValueError):
+            khop_neighbors(edges, fanouts=())
+        with pytest.raises(ValueError):
+            khop_neighbors(edges, fanouts=(2, 0))
+
+
+class TestVerbalizeTriples:
+    def test_labels_and_local_name_fallback(self, spark):
+        from pheknowlator_spark.operators.kg_train import verbalize_triples
+
+        t = spark.createDataFrame(
+            [("n1", "http://x/rel#locatedIn", "r1"), ("c9", "cites", "n1")],
+            ["s", "p", "o"],
+        )
+        labels = spark.createDataFrame(
+            [("n1", "United States"), ("r1", "America")], ["id", "label"]
+        )
+        got = {r["s"]: r for r in verbalize_triples(t, labels).collect()}
+        assert got["n1"]["text"] == "United States locatedIn America."
+        assert got["n1"]["n_tokens"] == 4
+        # no label for c9 (plain id) or 'cites' (no separator): fall back whole
+        assert got["c9"]["text"] == "c9 cites United States."
+        assert got["c9"]["n_tokens"] == 4
+
+
+class TestKCore:
+    def test_exact_core_matches_fixed_rounds(self, spark):
+        from pheknowlator_spark.operators.graph_algos import k_core
+
+        # K4 on {a,b,c,d} plus a tail d-e-f that must peel away
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        edges = spark.createDataFrame(k4 + [("d", "e"), ("e", "f")], ["src", "dst"])
+        exact = sorted(tuple(r) for r in k_core(edges, k=3).collect())
+        assert exact == [("a", 3), ("b", 3), ("c", 3), ("d", 3)]
+        fixed = sorted(tuple(r) for r in k_core(edges, k=3, rounds=4).collect())
+        assert fixed == exact
+
+    def test_everything_peels_when_k_too_high(self, spark):
+        from pheknowlator_spark.operators.graph_algos import k_core
+
+        edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+        assert k_core(edges, k=2).count() == 0
+
+    def test_rejects_bad_params(self, spark):
+        from pheknowlator_spark.operators.graph_algos import k_core
+
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        with pytest.raises(ValueError):
+            k_core(edges, k=0)
+        with pytest.raises(ValueError):
+            k_core(edges, k=2, rounds=0)

@@ -57,3 +57,56 @@ def test_cohort_retention_no_window_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_random_walks_hop_is_join_plus_min_by(spark):
+    """Each hop must be a hash join + partially-combined min_by — no
+    window over the edge table, no nested-loop join."""
+    plan = plan_of(e.q_random_walks(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_khop_window_is_per_adjacency_only(spark):
+    """The top-f ranking windows on the expansion key; no nested-loop or
+    cartesian expansion anywhere."""
+    plan = plan_of(e.q_khop_neighbors(spark, SF_DIR))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_verbalize_label_joins_broadcast(spark):
+    """All three label joins must broadcast the vocabulary-sized dim —
+    zero corpus-side shuffle joins."""
+    plan = plan_of(e.q_verbalize_triples(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_core_rounds_are_semi_joins(spark):
+    """Peel rounds are left-semi hash joins + hash aggregations — no
+    nested-loop join, no window. The per-round lineage cut truncates the
+    final executed plan, so the round plan is captured via the on_round
+    hook (pre-checkpoint), mirroring the CC/pagerank audit pattern."""
+    from pheknowlator_spark.operators.graph_algos import k_core
+
+    round_plans = []
+    edges = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr("l_suppkey as src", "l_partkey as dst")
+    )
+    k_core(
+        edges,
+        k=3,
+        rounds=2,
+        on_round=lambda r, df: round_plans.append(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        ),
+    )
+    assert len(round_plans) == 2
+    for plan in round_plans:
+        assert "LeftSemi" in plan
+        assert "Window" not in plan
