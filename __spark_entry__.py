@@ -568,6 +568,73 @@ def q_k_core(spark, sf_dir):
     return k_core(pairs, k=3, rounds=3)
 
 
+def q_coalesce_intervals(spark, sf_dir):
+    """Temporal-KG validity compaction: each event opens a validity
+    interval [ts, ts + value-as-int minutes] per (user, event_type)
+    fact; overlapping-or-touching intervals merge into islands via one
+    per-key running-max-end window + one aggregation."""
+    from pheknowlator_spark.operators.temporal import coalesce_intervals
+
+    iv = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("start"),
+        F.expr("timestampadd(MINUTE, CAST(value AS INT), ts)").alias("end"),
+    )
+    return coalesce_intervals(iv, ["user_id", "event_type"])
+
+
+def q_domain_range_violations(spark, sf_dir):
+    """SHACL-lite gate over the nation/customer KG: locatedIn requires
+    Nation→Region, citizenOf requires Customer→Nation; the types table
+    deliberately omits every third customer so the domain side has real
+    violations to report."""
+    from pheknowlator_spark.operators.validation import domain_range_violations
+
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    triples = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("s"),
+        F.lit("locatedIn").alias("p"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("o"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("s"),
+            F.lit("citizenOf").alias("p"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("o"),
+        )
+    )
+    constraints = spark.createDataFrame(
+        [
+            ("locatedIn", "Nation", "Region"),
+            ("citizenOf", "Customer", "Nation"),
+        ],
+        ["p", "domain", "range"],
+    )
+    types = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("node"),
+            F.lit("Nation").alias("type"),
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey")).alias("node"),
+                F.lit("Region").alias("type"),
+            )
+        )
+        .unionByName(
+            customer.filter(F.col("c_custkey") % 3 != 0).select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+                F.lit("Customer").alias("type"),
+            )
+        )
+    )
+    return domain_range_violations(triples, constraints, types)
+
+
 def q_interval_join(spark, sf_dir):
     """Bucketed point-in-interval join: every click landing inside a
     45-minute window opened by an error event of the same user. The
@@ -1670,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_neighbors": q_khop_neighbors,
         "verbalize_triples": q_verbalize_triples,
         "k_core": q_k_core,
+        "coalesce_intervals": q_coalesce_intervals,
+        "domain_range_violations": q_domain_range_violations,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2755,6 +2824,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cohort = day of first event; one distinct activity row per
         # (user, day); offset in whole days
+        # gaps-and-islands with identical window framing
+        "coalesce_intervals": """
+            WITH iv AS (
+              -- trunc() matches Spark's truncate-toward-zero int cast
+              -- (a bare DuckDB CAST rounds)
+              SELECT user_id, event_type, ts AS s,
+                     ts + INTERVAL (CAST(trunc(value) AS INT)) MINUTE AS e
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, event_type, s, e,
+                CASE WHEN max(e) OVER (
+                       PARTITION BY user_id, event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR s > max(e) OVER (
+                       PARTITION BY user_id, event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            islands AS (
+              SELECT user_id, event_type, s, e,
+                sum(new_island) OVER (
+                  PARTITION BY user_id, event_type ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS island
+              FROM marked
+            )
+            SELECT user_id, event_type, min(s) AS start, max(e) AS "end",
+                   count(*) AS n_merged
+            FROM islands GROUP BY user_id, event_type, island
+        """,
+        # two anti joins against the type assertions, one per side
+        "domain_range_violations": """
+            WITH t AS (
+              SELECT 'N' || n_nationkey AS s, 'locatedIn' AS p,
+                     'R' || n_regionkey AS o
+              FROM nation
+              UNION ALL
+              SELECT 'c' || c_custkey, 'citizenOf', 'N' || c_nationkey
+              FROM customer WHERE c_custkey % 7 = 0
+            ),
+            c AS (
+              SELECT 'locatedIn' AS p, 'Nation' AS dom, 'Region' AS rng
+              UNION ALL
+              SELECT 'citizenOf', 'Customer', 'Nation'
+            ),
+            ty AS (
+              SELECT 'N' || n_nationkey AS node, 'Nation' AS typ FROM nation
+              UNION ALL
+              SELECT 'R' || r_regionkey, 'Region' FROM region
+              UNION ALL
+              SELECT 'c' || c_custkey, 'Customer' FROM customer
+              WHERE c_custkey % 7 = 0 AND c_custkey % 3 != 0
+            ),
+            tc AS (SELECT t.*, c.dom, c.rng FROM t JOIN c ON t.p = c.p)
+            SELECT s, p, o, 'domain' AS side, dom AS required_type
+            FROM tc WHERE dom IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM ty WHERE ty.node = tc.s AND ty.typ = tc.dom)
+            UNION ALL
+            SELECT s, p, o, 'range', rng
+            FROM tc WHERE rng IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM ty WHERE ty.node = tc.o AND ty.typ = tc.rng)
+        """,
         # the bfs_depths tree, shared by the walk/khop oracles
         "random_walks": """
             WITH e AS (

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "cohort_retention", "funnel_counts", "interval_join"]
+__all__ = [
+    "asof_join",
+    "coalesce_intervals",
+    "cohort_retention",
+    "funnel_counts",
+    "interval_join",
+]
 
 
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
@@ -286,4 +292,48 @@ def cohort_retention(
             .alias("period_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: "list[str]",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Merge overlapping-or-touching validity intervals per key — the
+    temporal-KG compaction step: a fact asserted by many overlapping
+    page snapshots collapses to its minimal validity ranges, after which
+    "triples valid at time T" is a plain range filter. An interval joins
+    the previous island when its start is ≤ the running max end seen so
+    far (touching counts as connected). Returns ``keys + [start, end,
+    n_merged]``.
+
+    Plan: ONE window per key ordered by (start, end) computing the
+    running max-end (the island boundary test) and the island id as a
+    running sum — the window sorts only each key's interval history,
+    never a global ordering — then ONE partially-combined aggregation on
+    (key, island). Two shuffles total, both on the key.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    w = Window.partitionBy(*keys).orderBy(F.col(start), F.col(end))
+    prev_max = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max.isNull() | (F.col(start) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__island", island)
+        .groupBy(*keys, "__island")
+        .agg(
+            F.min(start).alias(start),
+            F.max(end).alias(end),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
     )

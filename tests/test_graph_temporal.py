@@ -258,3 +258,48 @@ class TestAsofJoin:
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "Window" in plan
         assert "Join" not in plan
+
+
+class TestCoalesceIntervals:
+    def test_touching_and_overlapping_merge(self, spark):
+        d = dt.datetime
+        rows = [
+            # overlapping pair + touching third → one island
+            ("u", d(2024, 1, 1, 0), d(2024, 1, 1, 2)),
+            ("u", d(2024, 1, 1, 1), d(2024, 1, 1, 3)),
+            ("u", d(2024, 1, 1, 3), d(2024, 1, 1, 4)),
+            # gap → second island
+            ("u", d(2024, 1, 1, 5), d(2024, 1, 1, 6)),
+            # other key unaffected
+            ("v", d(2024, 1, 1, 0), d(2024, 1, 1, 1)),
+        ]
+        iv = spark.createDataFrame(rows, ["k", "start", "end"])
+        from pheknowlator_spark.operators.temporal import coalesce_intervals
+
+        got = sorted(
+            (r["k"], r["start"].hour, r["end"].hour, r["n_merged"])
+            for r in coalesce_intervals(iv, ["k"]).collect()
+        )
+        assert got == [("u", 0, 4, 3), ("u", 5, 6, 1), ("v", 0, 1, 1)]
+
+    def test_contained_interval_does_not_split_island(self, spark):
+        d = dt.datetime
+        # [0,10] contains [1,2]; [3,4] starts after [1,2] ends but is
+        # still inside the running max end 10 → one island
+        rows = [
+            ("u", d(2024, 1, 1, 0), d(2024, 1, 1, 10)),
+            ("u", d(2024, 1, 1, 1), d(2024, 1, 1, 2)),
+            ("u", d(2024, 1, 1, 3), d(2024, 1, 1, 4)),
+        ]
+        iv = spark.createDataFrame(rows, ["k", "start", "end"])
+        from pheknowlator_spark.operators.temporal import coalesce_intervals
+
+        got = coalesce_intervals(iv, ["k"]).collect()
+        assert len(got) == 1 and got[0]["n_merged"] == 3
+
+    def test_rejects_empty_keys(self, spark):
+        from pheknowlator_spark.operators.temporal import coalesce_intervals
+
+        iv = spark.createDataFrame([("u", 1, 2)], ["k", "start", "end"])
+        with pytest.raises(ValueError):
+            coalesce_intervals(iv, [])

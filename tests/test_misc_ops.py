@@ -464,3 +464,47 @@ def test_pagerank_kill_resume(spark, tmp_path):
     assert ts_after == {
         t for t in ts_before if t[0] in ("pr_round_0000", "pr_round_0001")
     }
+
+
+class TestDomainRangeViolations:
+    def test_both_sides_reported(self, spark):
+        from pheknowlator_spark.operators.validation import (
+            domain_range_violations,
+        )
+
+        triples = spark.createDataFrame(
+            [
+                ("n1", "locatedIn", "r1"),   # conformant
+                ("x9", "locatedIn", "r1"),   # domain violation
+                ("n1", "locatedIn", "z2"),   # range violation
+                ("a", "unconstrained", "b"),  # no constraint → ignored
+            ],
+            ["s", "p", "o"],
+        )
+        constraints = spark.createDataFrame(
+            [("locatedIn", "Nation", "Region")], ["p", "domain", "range"]
+        )
+        types = spark.createDataFrame(
+            [("n1", "Nation"), ("r1", "Region")], ["node", "type"]
+        )
+        got = sorted(
+            (r["s"], r["o"], r["side"], r["required_type"])
+            for r in domain_range_violations(triples, constraints, types).collect()
+        )
+        assert got == [
+            ("n1", "z2", "range", "Region"),
+            ("x9", "r1", "domain", "Nation"),
+        ]
+
+    def test_null_side_unconstrained(self, spark):
+        from pheknowlator_spark.operators.validation import (
+            domain_range_violations,
+        )
+
+        triples = spark.createDataFrame([("s1", "p1", "o1")], ["s", "p", "o"])
+        constraints = spark.createDataFrame(
+            [("p1", None, "T")], "p string, domain string, range string"
+        )
+        types = spark.createDataFrame([("o1", "T")], ["node", "type"])
+        # domain NULL → only range checked, and it conforms
+        assert domain_range_violations(triples, constraints, types).count() == 0

@@ -110,3 +110,23 @@ def test_k_core_rounds_are_semi_joins(spark):
     for plan in round_plans:
         assert "LeftSemi" in plan
         assert "Window" not in plan
+
+
+def test_coalesce_intervals_single_key_window(spark):
+    """The island construction must be window-over-key + one partial/
+    final aggregation — no join at all."""
+    plan = plan_of(e.q_coalesce_intervals(spark, SF_DIR))
+    assert "Window" in plan
+    for join_op in ("SortMergeJoin", "HashJoin", "NestedLoopJoin"):
+        assert join_op not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_domain_range_constraints_broadcast(spark):
+    """The constraint dim must broadcast; the two side checks are anti
+    joins (no nested loop, no window)."""
+    plan = plan_of(e.q_domain_range_violations(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
