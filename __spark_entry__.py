@@ -568,6 +568,53 @@ def q_k_core(spark, sf_dir):
     return k_core(pairs, k=3, rounds=3)
 
 
+def q_transe_eval(spark, sf_dir):
+    """TransE link-prediction evaluation (pool-restricted rank, hits@k,
+    MRR) over the same lineitem-derived triples as negative_triples,
+    with deterministic md5-synthesized dim-8 embeddings so the DuckDB
+    oracle re-derives the identical vectors; all distances are quantized
+    int64 math, so ranks are bit-exact."""
+    from pheknowlator_spark.operators.kg_train import transe_eval
+
+    t = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("s"),
+            F.col("l_returnflag").alias("p"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("o"),
+        )
+        .distinct()
+    )
+
+    def synth(df, dim=8):
+        emb = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", F.col("id"), F.lit(j))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 997
+                )
+                / 997.0
+                for j in range(1, dim + 1)
+            ]
+        )
+        return df.select("id", emb.alias("embedding"))
+
+    ents = synth(
+        t.select(F.col("s").alias("id"))
+        .unionByName(t.select(F.col("o").alias("id")))
+        .distinct()
+    )
+    rels = synth(t.select(F.col("p").alias("id")).distinct())
+    return transe_eval(t, ents, rels, pool_size=16)
+
+
 def q_coalesce_intervals(spark, sf_dir):
     """Temporal-KG validity compaction: each event opens a validity
     interval [ts, ts + value-as-int minutes] per (user, event_type)
@@ -1739,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "coalesce_intervals": q_coalesce_intervals,
         "domain_range_violations": q_domain_range_violations,
+        "transe_eval": q_transe_eval,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2824,6 +2872,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cohort = day of first event; one distinct activity row per
         # (user, day); offset in whole days
+        # embeddings re-derived from md5 nibbles; distances are exact
+        # quantized-int64 math, so ranks replay bit-for-bit
+        "transe_eval": """
+            WITH t AS (
+              SELECT DISTINCT 'O' || l_orderkey AS s, l_returnflag AS p,
+                              'P' || l_partkey AS o
+              FROM lineitem WHERE l_orderkey % 5 = 0
+            ),
+            ids AS (SELECT s AS id FROM t UNION SELECT o FROM t),
+            ent AS (
+              SELECT id, list_transform(range(1, 9), j -> CAST(floor(
+                ((CAST('0x' || substring(md5(concat_ws('|', id, j)), 1, 8)
+                   AS BIGINT) % 997) / 997.0) * 1000) AS BIGINT)) AS v
+              FROM ids
+            ),
+            rel AS (
+              SELECT p AS id, list_transform(range(1, 9), j -> CAST(floor(
+                ((CAST('0x' || substring(md5(concat_ws('|', p, j)), 1, 8)
+                   AS BIGINT) % 997) / 997.0) * 1000) AS BIGINT)) AS v
+              FROM (SELECT DISTINCT p FROM t)
+            ),
+            pool AS (
+              SELECT p, cand, cv FROM (
+                SELECT po.p, po.o AS cand, e.v AS cv,
+                  row_number() OVER (PARTITION BY po.p ORDER BY
+                    md5(po.p || '|' || po.o), po.o) AS r
+                FROM (SELECT DISTINCT p, o FROM t) po
+                JOIN ent e ON po.o = e.id
+              ) WHERE r <= 16
+            ),
+            ts AS (
+              SELECT t.s, t.p, t.o,
+                list_transform(list_zip(es.v, r.v), z -> z[1] + z[2]) AS tv,
+                list_sum(list_transform(list_zip(es.v, r.v, eo.v),
+                  z -> abs(z[1] + z[2] - z[3]))) AS tscore
+              FROM t JOIN ent es ON t.s = es.id
+                     JOIN rel r  ON t.p = r.id
+                     JOIN ent eo ON t.o = eo.id
+            ),
+            ranks AS (
+              SELECT t.s, t.p, t.o,
+                1 + sum(CASE WHEN
+                    list_sum(list_transform(list_zip(t.tv, c.cv),
+                      z -> abs(z[1] - z[2]))) < t.tscore
+                 OR (list_sum(list_transform(list_zip(t.tv, c.cv),
+                      z -> abs(z[1] - z[2]))) = t.tscore AND c.cand < t.o)
+                  THEN 1 ELSE 0 END) AS rank
+              FROM ts t JOIN pool c ON t.p = c.p
+              GROUP BY t.s, t.p, t.o
+            )
+            SELECT p, count(*) AS n,
+                   CAST(avg(rank) AS DOUBLE) AS mean_rank,
+                   CAST(avg(CASE WHEN rank <= 1 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS hits_1,
+                   CAST(avg(CASE WHEN rank <= 10 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS hits_10,
+                   round(CAST(avg(CAST(1.0 AS DOUBLE) / rank) AS DOUBLE), 9)
+                     AS mrr
+            FROM ranks GROUP BY p
+        """,
         # gaps-and-islands with identical window framing
         "coalesce_intervals": """
             WITH iv AS (

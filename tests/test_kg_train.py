@@ -216,3 +216,34 @@ class TestKCore:
             k_core(edges, k=0)
         with pytest.raises(ValueError):
             k_core(edges, k=2, rounds=0)
+
+
+class TestTranseEval:
+    def test_hand_checkable_ranks(self, spark):
+        from pheknowlator_spark.operators.kg_train import transe_eval
+
+        # 1-D: s + r = 1.0; 'good' sits at the target, 'far' does not
+        ent = spark.createDataFrame(
+            [("s1", [0.0]), ("s2", [0.0]), ("good", [1.0]), ("far", [5.0])],
+            ["id", "embedding"],
+        )
+        rel = spark.createDataFrame([("r", [1.0])], ["id", "embedding"])
+        test = spark.createDataFrame(
+            [("s1", "r", "good"), ("s2", "r", "far")], ["s", "p", "o"]
+        )
+        out = transe_eval(test, ent, rel, pool_size=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        # s1→good ranks 1, s2→far ranks 2 (good beats it)
+        assert (r["p"], r["n"], r["mean_rank"]) == ("r", 2, 1.5)
+        assert (r["hits_1"], r["hits_10"], r["mrr"]) == (0.5, 1.0, 0.75)
+
+    def test_rejects_bad_params(self, spark):
+        from pheknowlator_spark.operators.kg_train import transe_eval
+
+        df = spark.createDataFrame([("a", [1.0])], ["id", "embedding"])
+        t = spark.createDataFrame([("a", "r", "a")], ["s", "p", "o"])
+        with pytest.raises(ValueError):
+            transe_eval(t, df, df, pool_size=0)
+        with pytest.raises(ValueError):
+            transe_eval(t, df, df, quant=0)

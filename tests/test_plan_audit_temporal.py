@@ -130,3 +130,13 @@ def test_domain_range_constraints_broadcast(spark):
     assert "LeftAnti" in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transe_eval_is_broadcast_only(spark):
+    """Embedding dims and the per-predicate pool array must broadcast;
+    the rank computation runs map-side in higher-order functions — the
+    only sort-merge-free plan has no corpus-side shuffle join."""
+    plan = plan_of(e.q_transe_eval(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
