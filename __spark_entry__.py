@@ -568,6 +568,34 @@ def q_k_core(spark, sf_dir):
     return k_core(pairs, k=3, rounds=3)
 
 
+def q_normalize_urls(spark, sf_dir):
+    """URL canonicalization over messy crawl-style URLs synthesized from
+    the orders table (mixed casing, default and explicit ports, unsorted
+    query params, fragments) — the hygiene pass before any url-keyed
+    dedup; the oracle replays the identical regexp extraction rules."""
+    from pheknowlator_spark.webtext.urls import normalize_urls
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    url = F.concat(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP://WWW.Shop")).otherwise(
+            F.lit("https://shop")
+        ),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lit(".Example.COM:80")
+        ).otherwise(F.lit(".example.com:8443")),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/item/"), F.col("o_orderkey").cast("string"))
+        ),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("?utm=9&a=1#frag"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("?a=1&utm=9"))
+        .otherwise(F.lit("#only-frag")),
+    )
+    return normalize_urls(o.select(url.alias("url"))).select(
+        "url", "norm_url", "host"
+    )
+
+
 def q_transe_eval(spark, sf_dir):
     """TransE link-prediction evaluation (pool-restricted rank, hits@k,
     MRR) over the same lineitem-derived triples as negative_triples,
@@ -1787,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_intervals": q_coalesce_intervals,
         "domain_range_violations": q_domain_range_violations,
         "transe_eval": q_transe_eval,
+        "normalize_urls": q_normalize_urls,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2872,6 +2901,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cohort = day of first event; one distinct activity row per
         # (user, day); offset in whole days
+        # identical regexp extraction rules, replayed byte-for-byte
+        "normalize_urls": """
+            WITH raw AS (
+              SELECT
+                (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://WWW.Shop'
+                      ELSE 'https://shop' END)
+                || CAST(o_custkey % 50 AS VARCHAR)
+                || (CASE WHEN o_orderkey % 2 = 0 THEN '.Example.COM:80'
+                         ELSE '.example.com:8443' END)
+                || (CASE WHEN o_orderkey % 5 = 0 THEN ''
+                         ELSE '/item/' || CAST(o_orderkey AS VARCHAR) END)
+                || (CASE WHEN o_orderkey % 3 = 0 THEN '?utm=9&a=1#frag'
+                         WHEN o_orderkey % 3 = 1 THEN '?a=1&utm=9'
+                         ELSE '#only-frag' END) AS url
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            parts AS (
+              SELECT url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(url, '\?([^#]*)', 1) AS query
+              FROM raw
+            ),
+            built AS (
+              SELECT url, scheme, query,
+                regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                array_to_string(list_sort(string_split(query, '&')), '&')
+                  AS sq
+              FROM parts
+            )
+            SELECT url,
+              scheme || '://' || host
+              || (CASE WHEN (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                        OR port = '' THEN ''
+                       ELSE ':' || port END)
+              || path
+              || (CASE WHEN query = '' THEN '' ELSE '?' || sq END)
+                AS norm_url,
+              host
+            FROM built
+        """,
         # embeddings re-derived from md5 nibbles; distances are exact
         # quantized-int64 math, so ranks replay bit-for-bit
         "transe_eval": """

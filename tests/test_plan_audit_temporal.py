@@ -140,3 +140,18 @@ def test_transe_eval_is_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalize_urls_is_pure_projection(spark):
+    """URL canonicalization must be one codegen'd projection over the
+    scan — no exchange, no join, no Python."""
+    plan = plan_of(e.q_normalize_urls(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # no Python in the hot path...
+    assert "EvalPython" not in plan
+    # ...and the scan+filter stage is codegen'd ("*(n)" prefix in the
+    # tree string; the outer projection itself can't fuse because
+    # array_sort's lambda comparator blocks codegen — acceptable, it is
+    # still a JVM-side whole-row expression, not an Arrow crossing)
+    assert "*(1)" in plan

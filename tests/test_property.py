@@ -3,6 +3,7 @@ equal straightforward in-Python derivations of the reference semantics on
 arbitrary small inputs — catches edge cases fixed fixtures miss."""
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -185,3 +186,36 @@ def test_stratified_sample_model_and_monotonicity(spark, ids, f1, f2):
     assert k_lo == model
     # monotonicity: a smaller fraction keeps a subset of a larger one
     assert k_lo <= k_hi
+
+
+class TestPartitionInvariance:
+    """Determinism evidence for the north rule's resume/rerun claims:
+    the same query must emit the IDENTICAL multiset of rows regardless of
+    shuffle-partition count (cluster size). Queries whose docstrings
+    claim hash-deterministic draws (negative sampling, walks, dedup
+    keep-rules) are exactly the ones where a partitioning-dependent
+    implementation would silently diverge."""
+
+    QUERIES = [
+        "dedup_exact",
+        "minhash_near_dup",
+        "negative_triples",
+        "random_walks",
+        "mode_per_group",
+        "transe_eval",
+    ]
+
+    def _rows(self, spark, name, parts):
+        import __spark_entry__ as e
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            df = e.queries()[name](spark, "/root/testdata/sf0.001")
+            return sorted(tuple(str(v) for v in r) for r in df.collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    @pytest.mark.parametrize("name", QUERIES)
+    def test_same_rows_at_3_and_17_partitions(self, spark, name):
+        assert self._rows(spark, name, 3) == self._rows(spark, name, 17)

@@ -261,3 +261,37 @@ def test_comention_pmi(spark):
     # min_pages drops the single-page pair
     only = {(r.c1, r.c2) for r in comention_pmi(linked, min_pages=2).collect()}
     assert only == {("A", "B")}
+
+
+class TestNormalizeUrls:
+    def test_canonical_forms(self, spark):
+        from pheknowlator_spark.webtext.urls import normalize_urls
+
+        rows = [
+            ("HTTP://WWW.Ex.COM:80/a/b?b=2&a=1#frag",),
+            ("https://ex.com:443",),
+            ("https://ex.com:8443/x?z=1",),
+            ("http://ex.com/a/",),
+        ]
+        df = spark.createDataFrame(rows, ["url"])
+        got = {r["url"]: (r["norm_url"], r["host"]) for r in normalize_urls(df).collect()}
+        assert got["HTTP://WWW.Ex.COM:80/a/b?b=2&a=1#frag"] == (
+            "http://www.ex.com/a/b?a=1&b=2",
+            "www.ex.com",
+        )
+        # default https port stripped, empty path → '/'
+        assert got["https://ex.com:443"] == ("https://ex.com/", "ex.com")
+        # non-default port kept
+        assert got["https://ex.com:8443/x?z=1"] == (
+            "https://ex.com:8443/x?z=1",
+            "ex.com",
+        )
+        # trailing slash preserved (path is semantic)
+        assert got["http://ex.com/a/"] == ("http://ex.com/a/", "ex.com")
+
+    def test_strip_www(self, spark):
+        from pheknowlator_spark.webtext.urls import normalize_urls
+
+        df = spark.createDataFrame([("http://www.ex.com/p",)], ["url"])
+        r = normalize_urls(df, strip_www=True).collect()[0]
+        assert (r["norm_url"], r["host"]) == ("http://ex.com/p", "ex.com")
