@@ -596,6 +596,133 @@ def q_normalize_urls(spark, sf_dir):
     )
 
 
+def _link_pages(spark, sf_dir):
+    """Deterministic anchor-bearing pages from the documents table: one
+    base url per doc plus html exercising every href class (root-relative,
+    path-relative, absolute, protocol-relative, javascript:, fragment-only)."""
+    d = _read(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (k % 97).cast("string"),
+        F.lit(".example/d"),
+        (k % 5).cast("string"),
+        F.lit("/p"),
+        k.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body>intro <a href="/x/'),
+        ((k * 7) % 1000).cast("string"),
+        F.lit('">r</a> mid'),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit(' <a class="n" href="sub/'),
+                (k % 13).cast("string"),
+                F.lit('">rel</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(' <a href="https://ext'),
+                (k % 11).cast("string"),
+                F.lit('.example/abs#sec">a</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0, F.lit(' <a href="//cdn.example/lib">c</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 7 == 0, F.lit(' <a href="javascript:void(0)">j</a>')
+        ).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit(' <a href="#top">t</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit(" outro</body></html>"),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_extract_links(spark, sf_dir):
+    """Anchor-link extraction + href resolution over synthetic crawl html
+    (regexp-only, so the oracle replays the identical extraction and
+    resolution rules), plus the host-level degree aggregation."""
+    from pheknowlator_spark.webtext.links import extract_links
+
+    return extract_links(_link_pages(spark, sf_dir))
+
+
+def q_host_degrees(spark, sf_dir):
+    """Host-level link-graph degrees over the extracted links — the
+    crawl-frontier / host-pagerank seed table."""
+    from pheknowlator_spark.webtext.links import extract_links, host_degrees
+
+    return host_degrees(extract_links(_link_pages(spark, sf_dir)))
+
+
+def q_url_dedup(spark, sf_dir):
+    """CDX-style latest-capture dedup: messy crawl urls (the
+    normalize_urls synth, which genuinely collides after normalization)
+    + a capture timestamp; keep the newest capture per canonical url.
+    One max_by hash aggregation — the capture history never shuffles."""
+    from pheknowlator_spark.webtext.urls import latest_capture, normalize_urls
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    url = F.concat(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP://WWW.Shop")).otherwise(
+            F.lit("https://shop")
+        ),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lit(".Example.COM:80")
+        ).otherwise(F.lit(".example.com:8443")),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/item/"), (F.col("o_orderkey") % 40).cast("string"))
+        ),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("?utm=9&a=1#frag"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("?a=1&utm=9"))
+        .otherwise(F.lit("#only-frag")),
+    )
+    captures = normalize_urls(
+        o.select(
+            url.alias("url"),
+            F.col("o_orderdate").alias("warc_ts"),
+            (F.col("o_orderkey") % 1000).alias("payload"),
+        )
+    )
+    out = latest_capture(captures, key_col="norm_url", ts_col="warc_ts")
+    return out.select("norm_url", "url", "warc_ts", "payload", "host")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff: added/removed/changed/unchanged
+    urls between two deterministic snapshots of the customer key space;
+    only added+changed would be re-extracted on a monthly refresh."""
+    from pheknowlator_spark.webtext.urls import snapshot_diff
+
+    c = _read(spark, sf_dir, "customer").select("c_custkey").distinct()
+    key = F.concat(F.lit("https://s.example/u/"), F.col("c_custkey"))
+    old = c.filter(F.col("c_custkey") % 5 != 0).select(
+        key.alias("norm_url"),
+        F.md5(F.concat(F.lit("a"), (F.col("c_custkey") % 7).cast("string"))).alias(
+            "content_hash"
+        ),
+    )
+    new = c.filter(F.col("c_custkey") % 3 != 0).select(
+        key.alias("norm_url"),
+        F.md5(
+            F.concat(
+                F.lit("a"),
+                F.when(F.col("c_custkey") % 11 == 0, F.lit(99))
+                .otherwise(F.col("c_custkey") % 7)
+                .cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_transe_eval(spark, sf_dir):
     """TransE link-prediction evaluation (pool-restricted rank, hits@k,
     MRR) over the same lineitem-derived triples as negative_triples,
@@ -1816,6 +1943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_range_violations": q_domain_range_violations,
         "transe_eval": q_transe_eval,
         "normalize_urls": q_normalize_urls,
+        "extract_links": q_extract_links,
+        "host_degrees": q_host_degrees,
+        "url_dedup": q_url_dedup,
+        "snapshot_diff": q_snapshot_diff,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2948,6 +3079,239 @@ def oracle_sql() -> dict[str, str]:
                 AS norm_url,
               host
             FROM built
+        """,
+        # anchor extraction + href resolution replayed rule-for-rule:
+        # fragment strip, absolute / protocol-relative / root-relative /
+        # path-relative classes, non-http schemes and empties dropped
+        "extract_links": """
+            WITH pages AS (
+              SELECT
+                'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+                  || CAST(doc_id % 5 AS VARCHAR) || '/p'
+                  || CAST(doc_id AS VARCHAR) AS url,
+                '<html><body>intro <a href="/x/'
+                || CAST((doc_id * 7) % 1000 AS VARCHAR) || '">r</a> mid'
+                || (CASE WHEN doc_id % 2 = 0
+                     THEN ' <a class="n" href="sub/'
+                          || CAST(doc_id % 13 AS VARCHAR) || '">rel</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0
+                     THEN ' <a href="https://ext'
+                          || CAST(doc_id % 11 AS VARCHAR)
+                          || '.example/abs#sec">a</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0
+                     THEN ' <a href="//cdn.example/lib">c</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                     THEN ' <a href="javascript:void(0)">j</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0
+                     THEN ' <a href="#top">t</a>' ELSE '' END)
+                || ' outro</body></html>' AS html
+              FROM documents
+            ),
+            exploded AS (
+              SELECT url,
+                unnest(regexp_extract_all(html,
+                  '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+              FROM pages
+            ),
+            parts AS (
+              SELECT url, href,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^([^:]*)', 1) AS host,
+                regexp_extract(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '^(.*/)', 1) AS bdir,
+                regexp_replace(href, '#.*$', '') AS raw
+              FROM exploded
+            ),
+            resolved AS (
+              SELECT url, href,
+                CASE
+                  WHEN regexp_matches(raw, '^https?://') THEN raw
+                  WHEN raw LIKE '//%' THEN scheme || ':' || raw
+                  WHEN raw LIKE '/%' THEN scheme || '://' || host || raw
+                  WHEN NOT regexp_matches(raw,
+                         '^[A-Za-z][A-Za-z0-9+.-]*:') AND raw <> ''
+                    THEN scheme || '://' || host
+                         || (CASE WHEN bdir = '' THEN '/' ELSE bdir END)
+                         || raw
+                  ELSE NULL
+                END AS link_url
+              FROM parts
+            )
+            SELECT url, href, link_url
+            FROM resolved WHERE link_url IS NOT NULL
+        """,
+        # same link universe, aggregated to host pairs
+        "host_degrees": """
+            WITH pages AS (
+              SELECT
+                'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+                  || CAST(doc_id % 5 AS VARCHAR) || '/p'
+                  || CAST(doc_id AS VARCHAR) AS url,
+                '<html><body>intro <a href="/x/'
+                || CAST((doc_id * 7) % 1000 AS VARCHAR) || '">r</a> mid'
+                || (CASE WHEN doc_id % 2 = 0
+                     THEN ' <a class="n" href="sub/'
+                          || CAST(doc_id % 13 AS VARCHAR) || '">rel</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0
+                     THEN ' <a href="https://ext'
+                          || CAST(doc_id % 11 AS VARCHAR)
+                          || '.example/abs#sec">a</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0
+                     THEN ' <a href="//cdn.example/lib">c</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                     THEN ' <a href="javascript:void(0)">j</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0
+                     THEN ' <a href="#top">t</a>' ELSE '' END)
+                || ' outro</body></html>' AS html
+              FROM documents
+            ),
+            exploded AS (
+              SELECT url,
+                unnest(regexp_extract_all(html,
+                  '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+              FROM pages
+            ),
+            parts AS (
+              SELECT url, href,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^([^:]*)', 1) AS host,
+                regexp_extract(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '^(.*/)', 1) AS bdir,
+                regexp_replace(href, '#.*$', '') AS raw
+              FROM exploded
+            ),
+            links AS (
+              SELECT url,
+                CASE
+                  WHEN regexp_matches(raw, '^https?://') THEN raw
+                  WHEN raw LIKE '//%' THEN scheme || ':' || raw
+                  WHEN raw LIKE '/%' THEN scheme || '://' || host || raw
+                  WHEN NOT regexp_matches(raw,
+                         '^[A-Za-z][A-Za-z0-9+.-]*:') AND raw <> ''
+                    THEN scheme || '://' || host
+                         || (CASE WHEN bdir = '' THEN '/' ELSE bdir END)
+                         || raw
+                  ELSE NULL
+                END AS link_url
+              FROM parts
+            )
+            SELECT
+              regexp_extract(lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                '^([^:]*)', 1) AS src_host,
+              regexp_extract(lower(regexp_extract(link_url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                '^([^:]*)', 1) AS dst_host,
+              COUNT(*) AS n_links,
+              COUNT(DISTINCT url) AS n_pages
+            FROM links WHERE link_url IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # latest capture per canonical url; ties replay the max_by struct
+        # field order (ts, then remaining columns: url, warc_ts excluded,
+        # payload, host) as DESC sort keys
+        "url_dedup": """
+            WITH raw AS (
+              SELECT
+                (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://WWW.Shop'
+                      ELSE 'https://shop' END)
+                || CAST(o_custkey % 50 AS VARCHAR)
+                || (CASE WHEN o_orderkey % 2 = 0 THEN '.Example.COM:80'
+                         ELSE '.example.com:8443' END)
+                || (CASE WHEN o_orderkey % 5 = 0 THEN ''
+                         ELSE '/item/'
+                              || CAST(o_orderkey % 40 AS VARCHAR) END)
+                || (CASE WHEN o_orderkey % 3 = 0 THEN '?utm=9&a=1#frag'
+                         WHEN o_orderkey % 3 = 1 THEN '?a=1&utm=9'
+                         ELSE '#only-frag' END) AS url,
+                o_orderdate AS warc_ts,
+                o_orderkey % 1000 AS payload
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            parts AS (
+              SELECT url, warc_ts, payload,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                  AS rawpath,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw
+            ),
+            built AS (
+              SELECT url, warc_ts, payload, scheme, query,
+                regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                array_to_string(list_sort(string_split(query, '&')), '&')
+                  AS sq
+              FROM parts
+            ),
+            norm AS (
+              SELECT url, warc_ts, payload, host,
+                scheme || '://' || host
+                || (CASE WHEN (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443')
+                          OR port = '' THEN ''
+                         ELSE ':' || port END)
+                || path
+                || (CASE WHEN query = '' THEN '' ELSE '?' || sq END)
+                  AS norm_url
+              FROM built
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY norm_url
+                ORDER BY warc_ts DESC, url DESC, payload DESC, host DESC
+              ) AS rn
+              FROM norm
+            )
+            SELECT norm_url, url, warc_ts, payload, host
+            FROM ranked WHERE rn = 1
+        """,
+        # full-outer-join diff over two deterministic snapshots of the
+        # customer key space
+        "snapshot_diff": """
+            WITH ks AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            old AS (
+              SELECT 'https://s.example/u/' || CAST(k AS VARCHAR)
+                       AS norm_url,
+                     md5('a' || CAST(k % 7 AS VARCHAR)) AS content_hash
+              FROM ks WHERE k % 5 <> 0
+            ),
+            new AS (
+              SELECT 'https://s.example/u/' || CAST(k AS VARCHAR)
+                       AS norm_url,
+                     md5('a' || CAST(CASE WHEN k % 11 = 0 THEN 99
+                                          ELSE k % 7 END AS VARCHAR))
+                       AS content_hash
+              FROM ks WHERE k % 3 <> 0
+            )
+            SELECT
+              COALESCE(old.norm_url, new.norm_url) AS norm_url,
+              CASE WHEN old.content_hash IS NULL THEN 'added'
+                   WHEN new.content_hash IS NULL THEN 'removed'
+                   WHEN old.content_hash <> new.content_hash
+                     THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              old.content_hash AS old_hash,
+              new.content_hash AS new_hash
+            FROM old FULL OUTER JOIN new
+              ON old.norm_url = new.norm_url
         """,
         # embeddings re-derived from md5 nibbles; distances are exact
         # quantized-int64 math, so ranks replay bit-for-bit

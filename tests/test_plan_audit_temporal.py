@@ -155,3 +155,33 @@ def test_normalize_urls_is_pure_projection(spark):
     # array_sort's lambda comparator blocks codegen — acceptable, it is
     # still a JVM-side whole-row expression, not an Arrow crossing)
     assert "*(1)" in plan
+
+
+def test_extract_links_is_scan_local(spark):
+    """Anchor extraction must stay inside the scan stage: the explode is
+    a Generate under the scan's codegen stage — no shuffle, no join, no
+    Python worker."""
+    plan = plan_of(e.q_extract_links(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_url_dedup_is_single_agg_no_window(spark):
+    """Latest-capture dedup must be one max_by hash aggregation (partial
+    combine), not a row_number window over the capture history: exactly
+    one hash-partitioning exchange, no Sort-based window."""
+    plan = plan_of(e.q_url_dedup(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "max_by" in plan
+
+
+def test_snapshot_diff_is_hash_full_outer(spark):
+    """The diff is one full-outer equality join — never a nested-loop or
+    cartesian plan."""
+    plan = plan_of(e.q_snapshot_diff(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

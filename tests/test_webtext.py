@@ -295,3 +295,110 @@ class TestNormalizeUrls:
         df = spark.createDataFrame([("http://www.ex.com/p",)], ["url"])
         r = normalize_urls(df, strip_www=True).collect()[0]
         assert (r["norm_url"], r["host"]) == ("http://ex.com/p", "ex.com")
+
+
+class TestExtractLinks:
+    def _links(self, spark, url, html):
+        from pheknowlator_spark.webtext.links import extract_links
+
+        df = spark.createDataFrame([(url, html)], ["url", "html"])
+        return {
+            (r["href"], r["link_url"]) for r in extract_links(df).collect()
+        }
+
+    def test_resolution_classes(self, spark):
+        got = self._links(
+            spark,
+            "https://h.example/dir/page",
+            '<a href="/root">r</a> <a href="rel/x">p</a>'
+            ' <a href="https://abs.example/a#sec">a</a>'
+            ' <a href="//cdn.example/l">c</a>'
+            ' <a href="javascript:void(0)">j</a>'
+            ' <a href="mailto:x@y">m</a> <a href="#top">f</a>',
+        )
+        assert got == {
+            ("/root", "https://h.example/root"),
+            ("rel/x", "https://h.example/dir/rel/x"),
+            ("https://abs.example/a#sec", "https://abs.example/a"),
+            ("//cdn.example/l", "https://cdn.example/l"),
+        }
+
+    def test_binary_html_and_rootless_base(self, spark):
+        # binary payload decodes JVM-side; base url with no path resolves
+        # path-relative hrefs against '/'
+        from pheknowlator_spark.webtext.links import extract_links
+
+        df = spark.createDataFrame(
+            [("http://h.example", bytearray(b'<a href="x">y</a>'))],
+            "url string, html binary",
+        )
+        rows = extract_links(df).collect()
+        assert [(r["href"], r["link_url"]) for r in rows] == [
+            ("x", "http://h.example/x")
+        ]
+
+    def test_host_degrees(self, spark):
+        from pheknowlator_spark.webtext.links import extract_links, host_degrees
+
+        rows = [
+            ("https://a.example/1", '<a href="/x">1</a> <a href="/y">2</a>'),
+            ("https://a.example/2", '<a href="https://b.example/z">3</a>'),
+        ]
+        df = spark.createDataFrame(rows, ["url", "html"])
+        got = {
+            (r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
+            for r in host_degrees(extract_links(df)).collect()
+        }
+        assert got == {
+            ("a.example", "a.example"): (2, 1),
+            ("a.example", "b.example"): (1, 1),
+        }
+
+
+class TestCaptureOps:
+    def test_latest_capture_keeps_newest_and_null_ts_loses(self, spark):
+        import datetime as dt
+
+        from pheknowlator_spark.webtext.urls import latest_capture
+
+        rows = [
+            ("k1", dt.datetime(2024, 1, 1), "old"),
+            ("k1", dt.datetime(2024, 3, 1), "new"),
+            ("k1", None, "nullts"),
+            ("k2", None, "only-null"),
+        ]
+        df = spark.createDataFrame(rows, "norm_url string, warc_ts timestamp, v string")
+        got = {r["norm_url"]: r["v"] for r in latest_capture(df).collect()}
+        # newest wins; an all-NULL-ts group still keeps its row
+        assert got == {"k1": "new", "k2": "only-null"}
+
+    def test_latest_capture_tie_is_column_order(self, spark):
+        import datetime as dt
+
+        from pheknowlator_spark.webtext.urls import latest_capture
+
+        ts = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("k", ts, "a"), ("k", ts, "b")],
+            "norm_url string, warc_ts timestamp, v string",
+        )
+        assert latest_capture(df).collect()[0]["v"] == "b"
+
+    def test_snapshot_diff_statuses(self, spark):
+        from pheknowlator_spark.webtext.urls import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+            ["norm_url", "content_hash"],
+        )
+        new = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "hX"), ("u4", "h4")],
+            ["norm_url", "content_hash"],
+        )
+        got = {r["norm_url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert got == {
+            "u1": "unchanged",
+            "u2": "changed",
+            "u3": "removed",
+            "u4": "added",
+        }
