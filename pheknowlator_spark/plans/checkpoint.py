@@ -158,6 +158,49 @@ class StageStore:
         ).withColumn("ts", F.current_timestamp())
         per_part.write.mode("overwrite").parquet(self._lineage_dir(stage))
 
+    def compact(
+        self,
+        stage: str,
+        target_file_bytes: int = 128 << 20,
+        shuffle: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Small-file compaction: rewrite a committed stage into
+        ``ceil(total_bytes / target_file_bytes)`` files (the checkpoint
+        analog of Iceberg's ``rewrite_data_files``). Incremental commits
+        (one ``incremental_triples`` batch per crawl drop) accrete many
+        small files; at 100 TB the resulting per-file task overhead and
+        footer-listing cost dominate downstream scans, so compaction is a
+        first-class maintenance op, not an afterthought.
+
+        ``shuffle=False`` (default) uses ``coalesce`` — NO shuffle, each
+        output task concatenates whole input files; ``shuffle=True`` uses
+        ``repartition`` for evenly-sized output when the inputs are
+        skewed. Same write-then-swap commit as ``run``: a crash never
+        loses the previous snapshot. Returns the compacted stage; no-ops
+        (returning the committed data unchanged) when the stage already
+        meets the target file count.
+        """
+        import math
+
+        if not self.is_committed(stage):
+            raise ValueError(f"stage {stage!r} is not committed")
+        final = self._dir(stage)
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(final)
+            for f in fs
+            if not f.startswith((".", "_"))
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(total / target_file_bytes))
+        if n >= len(files):
+            return self.spark.read.format(self.format).load(final)
+        df = self.spark.read.format(self.format).load(final)
+        out = df.repartition(n) if shuffle else df.coalesce(n)
+        return self.run(stage, lambda: out, partition_by=partition_by,
+                        force=True)
+
     def lineage(self) -> DataFrame:
         path = os.path.join(self.root, "_lineage")
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(

@@ -241,3 +241,35 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_capture_dedup(
+    pages_stream: DataFrame,
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`pheknowlator_spark.webtext.urls.
+    latest_capture`: canonicalize each capture's url and suppress
+    re-crawls of the same ``norm_url`` arriving within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the continuous-ingest
+    front door of the crawl pipeline. Streaming keeps the FIRST capture
+    seen per horizon (freshness path, state evicted at the watermark);
+    the nightly batch pass re-resolves to the globally LATEST capture via
+    ``latest_capture`` (completeness path) — same split as
+    ``incremental_triples`` vs the batch re-score.
+
+    State is one row per distinct in-horizon norm_url in the state store,
+    not executor memory — bounded at 10^12-doc scale by crawl-rate ×
+    horizon, not corpus size.
+    """
+    from pheknowlator_spark.webtext.urls import normalize_urls
+
+    src = normalize_urls(pages_stream).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(["norm_url"])
+    # batch fallback: plain keep-one-per-key (ordering handled by
+    # latest_capture when order matters)
+    return src.dropDuplicates(["norm_url"])

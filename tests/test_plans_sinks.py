@@ -158,3 +158,28 @@ def test_stage_store_format_routing(spark, tmp_path):
     resumed = store.run("s1", lambda: (_ for _ in ()).throw(AssertionError))
     assert resumed.count() == 10
     assert {r.v for r in resumed.collect()} == {2 * i for i in range(10)}
+
+
+def test_stage_store_compact(spark, tmp_path):
+    # 16 tiny files → 1 after compaction; rows identical; lineage rewritten
+    # to the new file layout; previous snapshot survives (swap protocol)
+    import glob
+
+    store = StageStore(spark, str(tmp_path / "stages"))
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    store.run("s1", lambda: df.repartition(16))
+    pre = glob.glob(str(tmp_path / "stages" / "s1" / "*.parquet"))
+    assert len(pre) == 16
+
+    out = store.compact("s1", target_file_bytes=1 << 30)
+    post = glob.glob(str(tmp_path / "stages" / "s1" / "*.parquet"))
+    assert len(post) == 1
+    assert out.count() == 1000
+    assert {r.v for r in out.groupBy("v").count().collect()} == set(range(7))
+    # lineage reflects the compacted layout: one file row for s1
+    lin = store.lineage().filter(F.col("stage") == "s1").collect()
+    assert len(lin) == 1 and lin[0].output_rows == 1000
+    # second compact is a no-op (already at target)
+    again = store.compact("s1", target_file_bytes=1 << 30)
+    assert again.count() == 1000
+    assert len(glob.glob(str(tmp_path / "stages" / "s1" / "*.parquet"))) == 1

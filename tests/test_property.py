@@ -203,6 +203,9 @@ class TestPartitionInvariance:
         "random_walks",
         "mode_per_group",
         "transe_eval",
+        # max_by keep-newest with explicit tie struct — the classic
+        # partitioning-dependent-if-done-wrong operator
+        "url_dedup",
     ]
 
     def _rows(self, spark, name, parts):

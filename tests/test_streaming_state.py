@@ -238,3 +238,69 @@ def test_event_windows_accept_string_timestamps(spark):
     }
     win = windowed_event_counts(df, window="1 hour").collect()
     assert {(r.event_type, r.cnt) for r in win} == {("click", 3), ("view", 1)}
+
+
+def test_streaming_capture_dedup_suppresses_in_horizon_recrawls(spark, tmp_path):
+    """Re-crawls of the same canonical url arriving in later micro-batches
+    (within the watermark horizon) must be suppressed; distinct canonical
+    urls must all survive. Url variants that NORMALIZE equal (casing,
+    default port, param order) count as the same capture."""
+    import glob
+    import os
+    import shutil
+    import time
+    import datetime as dt
+
+    from pheknowlator_spark.streaming.events import streaming_capture_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [
+        ("HTTP://A.Example:80/p?b=2&a=1", t0, "x1"),
+        ("https://b.example/q", t0, "x2"),
+    ]
+    # batch 2: same canonical urls, different raw spellings + one new url
+    rows2 = [
+        ("http://a.example/p?a=1&b=2#frag", t0 + dt.timedelta(minutes=5), "x3"),
+        ("https://c.example/r", t0 + dt.timedelta(minutes=5), "x4"),
+    ]
+    schema = "url string, warc_ts timestamp, payload string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+    merged = str(tmp_path / "in")
+    os.makedirs(merged)
+    base = time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(src + "/b*/part-*.parquet"))):
+        dst = f"{merged}/{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_capture_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.norm_url, r.payload) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        ("http://a.example/p?a=1&b=2", "x1"),  # first capture kept
+        ("https://b.example/q", "x2"),
+        ("https://c.example/r", "x4"),
+    }
+
+    # batch fallback: same surviving key set on the union
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    batch_keys = {
+        r.norm_url for r in streaming_capture_dedup(batch).collect()
+    }
+    assert batch_keys == {k for k, _ in got}
