@@ -183,3 +183,60 @@ def test_stage_store_compact(spark, tmp_path):
     again = store.compact("s1", target_file_bytes=1 << 30)
     assert again.count() == 1000
     assert len(glob.glob(str(tmp_path / "stages" / "s1" / "*.parquet"))) == 1
+
+
+def test_warc_round_trip(spark, tmp_path):
+    # spec-shaped WARC fixture (plain + per-file gzip) → pages table;
+    # response records only, HTTP envelope stripped, tz-naive timestamps
+    from pheknowlator_spark.sources.warc import read_warc, write_warc
+
+    rows1 = [
+        ("https://a.example/1", "2024-01-01T12:00:00Z", b"<html>one</html>"),
+        ("https://a.example/2", "2024-01-02T13:30:00Z", b"<html>two</html>"),
+    ]
+    rows2 = [
+        ("https://b.example/3", "2024-02-01T00:00:00Z", b"<html>three</html>"),
+    ]
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc(rows1, str(d / "seg-0.warc"))
+    write_warc(rows2, str(d / "seg-1.warc.gz"), gzip_out=True)
+
+    out = read_warc(spark, str(d)).collect()
+    got = {
+        (r.url, str(r.warc_ts), bytes(r.html), r.source_file.split("/")[-1])
+        for r in out
+    }
+    assert got == {
+        ("https://a.example/1", "2024-01-01 12:00:00", b"<html>one</html>", "seg-0.warc"),
+        ("https://a.example/2", "2024-01-02 13:30:00", b"<html>two</html>", "seg-0.warc"),
+        ("https://b.example/3", "2024-02-01 00:00:00", b"<html>three</html>", "seg-1.warc.gz"),
+    }
+    assert all(r.record_id.startswith("<urn:uuid:rec-") for r in out)
+
+
+def test_warc_parser_skips_non_response_and_corrupt_tail(spark):
+    # request records are skipped; a desynced tail stops cleanly
+    from pheknowlator_spark.sources.warc import _parse_warc_bytes
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.example/\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n"
+        b"GET \r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://y.example/\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"Content-Length: 27\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\n<b>z</b>\r\n\r\n"
+        b"garbage-not-a-warc-header\r\n"
+    )
+    out = _parse_warc_bytes(rec, "t")
+    assert len(out) == 1
+    url, ts, body, rid, src = out[0]
+    assert url == "https://y.example/"
+    assert body == b"<b>z</b>"
