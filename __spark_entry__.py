@@ -723,6 +723,111 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+def q_anchor_topk(spark, sf_dir):
+    """Anchor-text harvest + per-target top-anchor aggregation over the
+    synthetic crawl html — the crowd-sourced label table for link
+    targets (regexp-only, so the oracle replays the identical pattern;
+    the aggregation replays as a count + row_number pick)."""
+    from pheknowlator_spark.webtext.links import anchor_texts, top_anchors
+
+    return top_anchors(anchor_texts(_link_pages(spark, sf_dir)))
+
+
+def _robots_tables(spark, sf_dir):
+    """Deterministic robots.txt corpus + crawl urls over the link-pages
+    hosts: every host gets a '*' group (Disallow /d1, Allow /d1/p1 —
+    exercising longest-match and allow-wins ties), hosts ≡ 0 mod 3 add a
+    pktbot-specific block-all group (exercising agent-group resolution)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 97)
+    n = F.col("doc_id")
+    host = F.concat(F.lit("h"), n.cast("string"), F.lit(".example"))
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /d"),
+        (n % 5).cast("string"),
+        F.lit("\nAllow: /d"),
+        (n % 5).cast("string"),
+        F.lit("/p1\n"),
+        F.when(
+            n % 3 == 0, F.lit("\nUser-agent: pktbot\nDisallow: /\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = d.select(host.alias("host"), txt.alias("robots_txt"))
+    pages = _link_pages(spark, sf_dir).select("url")
+    return robots, pages
+
+
+def q_robots_allowed(spark, sf_dir):
+    """REP url filtering: parse per-host robots.txt (rule→agent-group
+    attachment via one per-host window), resolve the agent group
+    (specific beats '*'), longest-prefix match with allow-wins ties —
+    pages surviving for agent 'pktbot'."""
+    from pheknowlator_spark.webtext.robots import parse_robots, robots_filter
+
+    robots, pages = _robots_tables(spark, sf_dir)
+    rules = parse_robots(robots)
+    return robots_filter(pages, rules, agent="pktbot")
+
+
+def q_host_quality(spark, sf_dir):
+    """Gopher-style domain-level filtering: per-host mean composite
+    quality over synthetic doc-backed pages; hosts below the mean floor
+    or page floor drop out as whole domains."""
+    from pheknowlator_spark.operators.corpus import host_quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://q"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+    )
+    out = host_quality_filter(pages, min_mean_quality=0.7, min_pages=3)
+    return out.select(
+        "doc_id",
+        "host",
+        F.round("host_quality", 6).alias("host_quality"),
+        "host_pages",
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights with lang='en' documents as
+    the target distribution; md5-derived buckets so the two LMs and the
+    per-doc log-ratio replay exactly in SQL."""
+    from pheknowlator_spark.operators.corpus import dsir_weights
+
+    d = _read(spark, sf_dir, "documents")
+    out = dsir_weights(d, F.col("lang") == "en", buckets=4096)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dsir_weight", 6).alias("dsir_weight"),
+    )
+
+
+def q_bloom_seen(spark, sf_dir):
+    """Bloom-filter crawl-frontier membership: build the sketch over the
+    even-doc urls, probe every url; bit-for-bit md5 positions make the
+    sketch words and every verdict (including false positives) replay
+    exactly in SQL."""
+    from pheknowlator_spark.webtext.urls import bloom_build, bloom_probe
+
+    d = _read(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://b.example/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        "doc_id",
+    )
+    seen = urls.filter(F.col("doc_id") % 2 == 0).select("url")
+    bloom = bloom_build(seen, m_bits=1 << 14, k=4)
+    return bloom_probe(urls.select("url"), bloom, m_bits=1 << 14, k=4)
+
+
 def q_transe_eval(spark, sf_dir):
     """TransE link-prediction evaluation (pool-restricted rank, hits@k,
     MRR) over the same lineitem-derived triples as negative_triples,
@@ -1947,6 +2052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degrees": q_host_degrees,
         "url_dedup": q_url_dedup,
         "snapshot_diff": q_snapshot_diff,
+        "anchor_topk": q_anchor_topk,
+        "robots_allowed": q_robots_allowed,
+        "host_quality": q_host_quality,
+        "dsir_weights": q_dsir_weights,
+        "bloom_seen": q_bloom_seen,
         "link_prediction": q_link_prediction,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
@@ -2458,6 +2568,35 @@ _WINNOW_FPS_CTE = r"""w AS (
             ), fps AS (
               SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM fp
             )"""
+
+
+# DuckDB replay of _link_pages (the synthetic anchor-bearing crawl html) —
+# shared by the anchor_topk / robots_allowed oracles
+_LINK_PAGES_SQL = """
+              SELECT
+                'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example/d'
+                  || CAST(doc_id % 5 AS VARCHAR) || '/p'
+                  || CAST(doc_id AS VARCHAR) AS url,
+                '<html><body>intro <a href="/x/'
+                || CAST((doc_id * 7) % 1000 AS VARCHAR) || '">r</a> mid'
+                || (CASE WHEN doc_id % 2 = 0
+                     THEN ' <a class="n" href="sub/'
+                          || CAST(doc_id % 13 AS VARCHAR) || '">rel</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0
+                     THEN ' <a href="https://ext'
+                          || CAST(doc_id % 11 AS VARCHAR)
+                          || '.example/abs#sec">a</a>'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0
+                     THEN ' <a href="//cdn.example/lib">c</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0
+                     THEN ' <a href="javascript:void(0)">j</a>' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0
+                     THEN ' <a href="#top">t</a>' ELSE '' END)
+                || ' outro</body></html>' AS html
+              FROM documents
+"""
 
 
 def _dd_grams(k: int) -> str:
@@ -3312,6 +3451,212 @@ def oracle_sql() -> dict[str, str]:
               new.content_hash AS new_hash
             FROM old FULL OUTER JOIN new
               ON old.norm_url = new.norm_url
+        """,
+        "anchor_topk": f"""
+            WITH pages AS ({_LINK_PAGES_SQL}),
+            ex AS (
+              SELECT url,
+                regexp_extract_all(html,
+                  '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS l1,
+                regexp_extract_all(html,
+                  '<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS l2
+              FROM pages
+            ),
+            a AS (
+              SELECT url, l1[i] AS href,
+                trim(regexp_replace(l2[i], '\\s+', ' ', 'g')) AS anchor
+              FROM ex, unnest(range(1, len(l1) + 1)) t(i)
+            ),
+            counts AS (
+              SELECT href, anchor, count(*) AS n_anchor
+              FROM a WHERE anchor <> '' GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT href, anchor, n_anchor,
+                row_number() OVER (PARTITION BY href
+                  ORDER BY n_anchor DESC, anchor) AS rn,
+                sum(n_anchor) OVER (PARTITION BY href) AS n_total
+              FROM counts
+            )
+            SELECT href, anchor AS top_anchor, n_anchor, n_total
+            FROM ranked WHERE rn = 1
+        """,
+        "robots_allowed": f"""
+            WITH hosts AS (
+              SELECT doc_id AS n,
+                'h' || CAST(doc_id AS VARCHAR) || '.example' AS host
+              FROM documents WHERE doc_id < 97
+            ),
+            robots AS (
+              SELECT host,
+                '# synthetic robots' || chr(10) || 'User-agent: *'
+                || chr(10) || 'Disallow: /d' || CAST(n % 5 AS VARCHAR)
+                || chr(10) || 'Allow: /d' || CAST(n % 5 AS VARCHAR)
+                || '/p1' || chr(10)
+                || (CASE WHEN n % 3 = 0
+                     THEN chr(10) || 'User-agent: pktbot' || chr(10)
+                          || 'Disallow: /' || chr(10)
+                     ELSE '' END) AS txt
+              FROM hosts
+            ),
+            lines AS (
+              SELECT host, i AS pos,
+                trim(regexp_replace(ln[i], '#.*$', '')) AS line
+              FROM (SELECT host,
+                      string_split_regex(txt, '\\r?\\n') AS ln
+                    FROM robots), unnest(range(1, len(ln) + 1)) t(i)
+            ),
+            tagged AS (
+              SELECT host, pos,
+                lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                  AS directive,
+                trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1))
+                  AS value
+              FROM lines
+              WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                IN ('user-agent', 'allow', 'disallow')
+            ),
+            agented AS (
+              SELECT host, directive, value,
+                last_value(CASE WHEN directive = 'user-agent'
+                             THEN lower(value) END IGNORE NULLS)
+                  OVER (PARTITION BY host ORDER BY pos) AS agent
+              FROM tagged
+            ),
+            rules AS (
+              SELECT host, agent, directive = 'allow' AS allow,
+                     value AS prefix
+              FROM agented
+              WHERE directive <> 'user-agent' AND agent IS NOT NULL
+                AND value <> ''
+            ),
+            spec AS (SELECT DISTINCT host FROM rules
+                     WHERE agent = 'pktbot'),
+            eff AS (
+              SELECT r.host, r.allow, r.prefix
+              FROM rules r LEFT JOIN spec s ON r.host = s.host
+              WHERE CASE WHEN s.host IS NOT NULL
+                      THEN r.agent = 'pktbot' ELSE r.agent = '*' END
+            ),
+            pages AS ({_LINK_PAGES_SQL}),
+            keyed AS (
+              SELECT url,
+                regexp_extract(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^([^:]*)', 1) AS robots_host,
+                CASE WHEN regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                  END AS path
+              FROM pages
+            ),
+            verdicts AS (
+              SELECT url, allow FROM (
+                SELECT k.url, e.allow,
+                  row_number() OVER (PARTITION BY k.url
+                    ORDER BY length(e.prefix) DESC, e.allow DESC) AS rn
+                FROM keyed k JOIN eff e
+                  ON k.robots_host = e.host
+                 AND starts_with(k.path, e.prefix)
+              ) WHERE rn = 1
+            )
+            SELECT k.url, k.robots_host
+            FROM keyed k LEFT JOIN verdicts v ON k.url = v.url
+            WHERE v.allow IS NULL OR v.allow
+        """,
+        "host_quality": """
+            WITH q AS (
+              SELECT doc_id,
+                'q' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+                CAST(
+                  CASE WHEN length(text) BETWEEN 100 AND 100000
+                    THEN 0.25 ELSE 0 END
+                + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(
+                      CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END, 1) BETWEEN 3.0 AND 12.0
+                    THEN 0.25 ELSE 0 END
+                + CASE WHEN CAST(length(regexp_replace(text,
+                      '[^!?.,;:]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) < 0.2
+                    THEN 0.25 ELSE 0 END
+                + CASE WHEN len(list_intersect(list_distinct(
+                      string_split_regex(lower(trim(text)), '\\s+')),
+                      ['the','and','of','to','in','is','that','for',
+                       'with'])) >= 2
+                    THEN 0.25 ELSE 0 END AS DOUBLE) AS quality
+              FROM documents
+            ),
+            h AS (
+              SELECT host, avg(quality) AS hq, count(*) AS hp
+              FROM q GROUP BY 1
+              HAVING avg(quality) >= 0.7 AND count(*) >= 3
+            )
+            SELECT q.doc_id, q.host, round(h.hq, 6) AS host_quality,
+                   h.hp AS host_pages
+            FROM q JOIN h USING (host)
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id,
+                CAST(('0x' || substring(md5(term), 1, 8)) AS UBIGINT)
+                  % 4096 AS bucket
+              FROM (SELECT doc_id, unnest(string_split_regex(
+                      lower(trim(text)), '\\s+')) AS term
+                    FROM documents)
+              WHERE term <> ''
+            ),
+            tgt AS (
+              SELECT t.bucket FROM toks t
+              JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+            ),
+            tc AS (SELECT bucket, count(*) AS ct FROM tgt GROUP BY 1),
+            rc AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY 1),
+            tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
+                           (SELECT sum(cr) FROM rc) AS tr),
+            ratio AS (
+              SELECT rc.bucket,
+                ln((COALESCE(tc.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                - ln((rc.cr + 1.0) / (tot.tr + 4096.0)) AS lr
+              FROM rc LEFT JOIN tc USING (bucket), tot
+            )
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(sum(r.lr), 6) AS dsir_weight
+            FROM toks t JOIN ratio r USING (bucket)
+            GROUP BY 1
+        """,
+        "bloom_seen": """
+            WITH urls AS (
+              SELECT 'https://b.example/' || CAST(doc_id AS VARCHAR)
+                       AS url, doc_id
+              FROM documents
+            ),
+            spos AS (
+              SELECT CAST(('0x' || substring(md5(CAST(j AS VARCHAR)
+                || ':' || url), 1, 8)) AS UBIGINT) % 16384 AS pos
+              FROM (SELECT url FROM urls WHERE doc_id % 2 = 0),
+                   range(4) t(j)
+            ),
+            bloom AS (
+              SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+                bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+              FROM spos GROUP BY 1
+            ),
+            probe AS (
+              SELECT url, CAST(pos // 32 AS BIGINT) AS word_idx,
+                CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit
+              FROM (
+                SELECT url, CAST(('0x' || substring(md5(CAST(j AS VARCHAR)
+                  || ':' || url), 1, 8)) AS UBIGINT) % 16384 AS pos
+                FROM urls, range(4) t(j))
+            )
+            SELECT p.url,
+                   bool_and((COALESCE(b.word, 0) & p.bit) <> 0)
+                     AS maybe_seen
+            FROM probe p LEFT JOIN bloom b USING (word_idx)
+            GROUP BY 1
         """,
         # embeddings re-derived from md5 nibbles; distances are exact
         # quantized-int64 math, so ranks replay bit-for-bit

@@ -29,6 +29,8 @@ from ..functions.text import shingles
 __all__ = [
     "budget_sample",
     "contamination_check",
+    "dsir_weights",
+    "host_quality_filter",
     "lm_score",
     "sample_bucket",
     "stratified_sample",
@@ -298,4 +300,124 @@ def lm_score(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("__s") / F.count(F.lit(1))).alias("avg_logp"),
         F.exp(-(F.sum("__s") / F.count(F.lit(1)))).alias("ppl"),
+    )
+
+
+def host_quality_filter(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_mean_quality: float = 0.5,
+    min_pages: int = 1,
+) -> DataFrame:
+    """Gopher-style domain-level filtering (Rae et al. 2021 §A.1.1):
+    score every page with the composite :func:`~..functions.text.
+    quality_score`, aggregate the mean per host, and keep only pages
+    whose host clears both a mean-quality floor and a minimum page
+    count — spam/boilerplate farms fail as whole domains even when
+    individual pages sneak past per-page filters.
+
+    Adds ``host``, ``host_quality`` (mean), and ``host_pages`` columns.
+
+    100 TB path: one partially-combined aggregation keyed by host (hosts
+    ≪ pages), then the surviving-host dim broadcast back — the page
+    table itself never shuffles and is scanned once (Spark reuses the
+    scan across the agg subtree and the join probe side via the shared
+    plan)."""
+    from ..functions.text import quality_score
+
+    host = F.regexp_extract(
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+            )
+        ),
+        r"^([^:]*)",
+        1,
+    )
+    scored = pages.withColumn("host", host).withColumn(
+        "__q", quality_score(F.col(text_col))
+    )
+    keep = (
+        scored.groupBy("host")
+        .agg(
+            F.avg("__q").alias("host_quality"),
+            F.count(F.lit(1)).alias("host_pages"),
+        )
+        .filter(
+            (F.col("host_quality") >= min_mean_quality)
+            & (F.col("host_pages") >= min_pages)
+        )
+    )
+    return scored.join(F.broadcast(keep), "host").drop("__q")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-unigram
+    bag-of-words models over a target slice (``is_target``, a boolean
+    Column over ``docs``) and over the raw corpus, then weight every
+    document by its log-likelihood ratio ``Σ_tokens log p_target(h(t)) -
+    log p_raw(h(t))`` with Laplace smoothing. High weight ≈ looks like
+    the target distribution; resampling by these weights is the
+    published recipe for domain-matched pretraining mixtures.
+
+    Token buckets use the md5-derived hash (DuckDB-replayable; swap for
+    ``xxhash64 % buckets`` in production for speed). Returns
+    ``[<id_col>, n_tokens, dsir_weight]``.
+
+    100 TB path: both hashed LMs are ``buckets``-sized (4096 rows) —
+    built with one partially-combined aggregation each and broadcast
+    back, so scoring is a map-side broadcast join plus one per-doc
+    aggregation; the per-doc shuffle moves one combined row per
+    document, never raw tokens."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % buckets
+    ).alias("bucket")
+
+    def _tokens(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+
+    toks = _tokens(docs).select(id_col, bucket)
+    tgt_ids = docs.filter(is_target).select(id_col)
+    tgt = toks.join(tgt_ids, id_col, "left_semi")
+    t_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    r_counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    t_tot = t_counts.agg(F.sum("__ct").alias("__tt"))
+    r_tot = r_counts.agg(F.sum("__cr").alias("__tr"))
+    s = F.lit(float(smoothing))
+    b = F.lit(float(buckets))
+    ratio = (
+        r_counts.join(t_counts, "bucket", "left")
+        .na.fill({"__ct": 0})
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("__ct") + s) / (F.col("__tt") + s * b))
+                - F.log((F.col("__cr") + s) / (F.col("__tr") + s * b))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr").alias("dsir_weight"),
+        )
     )

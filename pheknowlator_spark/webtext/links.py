@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "host_degrees"]
+__all__ = ["extract_links", "host_degrees", "anchor_texts", "top_anchors"]
 
 # one capture group: the href value of an anchor tag
 _HREF_RE = r'<a\s[^>]*href="([^"]*)"'
@@ -91,6 +91,64 @@ def extract_links(
         )
         .withColumn("link_url", resolved)
         .filter(F.col("link_url").isNotNull())
+    )
+
+
+# two capture groups: href value and the visible anchor text (text kept
+# tag-free via [^<]* so the same pattern replays identically in RE2/DuckDB)
+_ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Explode every ``<a href="...">text</a>`` into one row per anchor:
+    ``(url, href, anchor)`` with the anchor text whitespace-collapsed and
+    trimmed; empty anchors (image links, icons) are dropped.
+
+    Anchor text is the classic web-KG labeling signal (the reference takes
+    node labels from curated ontology metadata, pkt_kg/metadata.py:33 —
+    a crawl derives them from how pages *refer* to a target). Same scale
+    shape as :func:`extract_links`: regexp + ``arrays_zip`` + one generator
+    explode inside the scan stage, zero exchanges, no Python worker. The
+    two ``regexp_extract_all`` calls over the same pattern return matches
+    in document order, so zipping group 1 with group 2 re-pairs each href
+    with its own anchor text.
+    """
+    html = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2).alias("anchor"),
+    )
+    anchor = F.trim(F.regexp_replace(F.col("pair.anchor"), r"\s+", " "))
+    return (
+        df.select(F.col(url_col).alias(url_col), F.explode(pairs).alias("pair"))
+        .select(
+            url_col,
+            F.col("pair.href").alias("href"),
+            anchor.alias("anchor"),
+        )
+        .filter(F.col("anchor") != "")
+    )
+
+
+def top_anchors(anchors: DataFrame) -> DataFrame:
+    """Most-frequent anchor text per link target: ``(href, top_anchor,
+    n_anchor, n_total)`` — the crowd-sourced label for each target url.
+    Ties break to the lexicographically smallest anchor so the result is
+    deterministic. Two hash aggregations with map-side partial combine
+    (count per (href, anchor), then ``min_by`` over an ordering struct) —
+    no windows, no sort, scales with distinct targets not corpus size."""
+    counts = anchors.groupBy("href", "anchor").agg(
+        F.count(F.lit(1)).alias("n_anchor")
+    )
+    order = F.struct((-F.col("n_anchor")).alias("neg"), F.col("anchor"))
+    return counts.groupBy("href").agg(
+        F.min_by("anchor", order).alias("top_anchor"),
+        F.max("n_anchor").alias("n_anchor"),
+        F.sum("n_anchor").alias("n_total"),
     )
 
 

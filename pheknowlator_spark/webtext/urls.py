@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_urls", "latest_capture", "snapshot_diff"]
+__all__ = [
+    "normalize_urls",
+    "latest_capture",
+    "snapshot_diff",
+    "bloom_build",
+    "bloom_probe",
+]
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -138,3 +144,102 @@ def snapshot_diff(
         F.col("__old_h").alias("old_hash"),
         F.col("__new_h").alias("new_hash"),
     )
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """k deterministic bit positions in [0, m_bits) for a value: position
+    j hashes ``"j:" + value`` through md5 and takes the top 32 bits mod m.
+    md5 (not xxhash64) so the exact bit pattern replays in ANSI SQL —
+    DuckDB: ``CAST('0x' || substring(md5(j || ':' || x), 1, 8) AS UBIGINT)
+    % m`` — keeping membership decisions auditable outside Spark."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    seen: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a tiny DataFrame of
+    32-bit words: ``(word_idx, word)`` with ``word = bit_or`` of the
+    members' bits. The crawl-frontier seen-set: no false negatives, a
+    measurable deterministic false-positive rate (~``(1-e^{-kn/m})^k``).
+
+    Words are 32-bit (packed in BIGINT) so every shift stays positive
+    and two's-complement-free in both Spark and the SQL oracle.
+
+    100 TB path: one partially-combined aggregation producing m/32 rows
+    (a 64 KiB sketch for the default m=2^16) — the classic alternative
+    to shuffling a 10^12-row seen-set into every frontier batch. The
+    sketch broadcasts; probing (:func:`bloom_probe`) is then map-side.
+    Size m for the real corpus (m ≈ 14.4 bits/key for 0.1% FP); the
+    sketch stays ≪ executor memory up to 10^11 keys."""
+    pos = F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias(
+        "pos"
+    )
+    return (
+        seen.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Append ``maybe_seen`` to ``candidates``: true iff all ``k`` of the
+    key's Bloom bits are set in ``bloom`` (from :func:`bloom_build` with
+    the SAME m_bits/k). False ⇒ definitely new (the no-false-negative
+    guarantee the crawl frontier relies on).
+
+    The sketch joins in broadcast on word_idx; the verdict is one
+    partially-combined ``bool_and`` per candidate key — candidates
+    shuffle one row each, never per-probe rows."""
+    probes = candidates.select(
+        F.col(key_col),
+        F.posexplode(_bloom_positions(F.col(key_col), m_bits, k)).alias(
+            "__j", "pos"
+        ),
+    ).select(
+        key_col,
+        "__j",
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("word"), F.lit(0))
+                .bitwiseAND(F.col("bit"))
+                != 0
+            ).alias("__hit"),
+        )
+        .groupBy(key_col)
+        .agg(F.bool_and("__hit").alias("maybe_seen"))
+    )
+    return candidates.join(hit, key_col)

@@ -402,3 +402,228 @@ class TestCaptureOps:
             "u3": "removed",
             "u4": "added",
         }
+
+
+class TestRobots:
+    def _rules(self, spark):
+        from pheknowlator_spark.webtext.robots import parse_robots
+
+        robots = spark.createDataFrame(
+            [
+                (
+                    "a.example",
+                    "User-agent: *\nDisallow: /private\nAllow: /private/pub\n"
+                    "\nUser-agent: gptbot\nDisallow: /\n# comment\nDisallow:",
+                ),
+                ("b.example", "User-Agent: crawler\r\nDisallow: /x/"),
+            ],
+            "host string, robots_txt string",
+        )
+        return parse_robots(robots)
+
+    def test_parse(self, spark):
+        got = {
+            (r.host, r.agent, r.allow, r.prefix)
+            for r in self._rules(spark).collect()
+        }
+        # empty Disallow: and the comment line are dropped; CRLF handled;
+        # directive case-insensitive, agent lowercased, path case kept
+        assert got == {
+            ("a.example", "*", False, "/private"),
+            ("a.example", "*", True, "/private/pub"),
+            ("a.example", "gptbot", False, "/"),
+            ("b.example", "crawler", False, "/x/"),
+        }
+
+    def test_filter_semantics(self, spark):
+        from pheknowlator_spark.webtext.robots import robots_filter
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.example/ok",),
+                ("https://a.example/private/secret",),
+                ("https://a.example/private/pub/doc",),  # allow beats shorter disallow
+                ("https://b.example/x/1",),
+                ("https://b.example/y",),
+                ("https://c.example/anything",),  # no rules → allowed
+                ("https://a.example",),  # empty path → "/"
+            ],
+            "url string",
+        )
+        rules = self._rules(spark)
+
+        def urls(agent):
+            return sorted(
+                r.url for r in robots_filter(pages, rules, agent).collect()
+            )
+
+        assert urls("*") == [
+            "https://a.example",
+            "https://a.example/ok",
+            "https://a.example/private/pub/doc",
+            "https://b.example/x/1",
+            "https://b.example/y",
+            "https://c.example/anything",
+        ]
+        # specific group REPLACES the '*' group (no rule merge)
+        assert urls("GptBot") == [
+            "https://b.example/x/1",
+            "https://b.example/y",
+            "https://c.example/anything",
+        ]
+        # crawler has no group on a.example → falls back to '*' there
+        assert urls("crawler") == [
+            "https://a.example",
+            "https://a.example/ok",
+            "https://a.example/private/pub/doc",
+            "https://b.example/y",
+            "https://c.example/anything",
+        ]
+
+
+class TestAnchors:
+    def test_extract_and_top(self, spark):
+        from pheknowlator_spark.webtext.links import anchor_texts, top_anchors
+
+        html = spark.createDataFrame(
+            [
+                (
+                    "u1",
+                    '<a href="/t">Home  \n Page</a> <a href="/t">home</a>'
+                    ' <a class="c" href="/u">About</a>'
+                    ' <a href="/v"><img/></a>',  # tag-only anchor dropped
+                ),
+                ("u2", '<a href="/t">Home Page</a><a href="/u">about</a>'),
+            ],
+            "url string, html string",
+        )
+        rows = {
+            (r.url, r.href, r.anchor) for r in anchor_texts(html).collect()
+        }
+        assert rows == {
+            ("u1", "/t", "Home Page"),  # whitespace collapsed
+            ("u1", "/t", "home"),
+            ("u1", "/u", "About"),
+            ("u2", "/t", "Home Page"),
+            ("u2", "/u", "about"),
+        }
+        top = {
+            r.href: (r.top_anchor, r.n_anchor, r.n_total)
+            for r in top_anchors(anchor_texts(html)).collect()
+        }
+        assert top == {
+            "/t": ("Home Page", 2, 3),
+            # count tie (About=1, about=1) → lexicographically smaller wins
+            "/u": ("About", 1, 2),
+        }
+
+    def test_binary_html(self, spark):
+        from pheknowlator_spark.webtext.links import anchor_texts
+
+        df = spark.createDataFrame(
+            [("u", bytearray(b'<a href="/z">Zed</a>'))],
+            "url string, html binary",
+        )
+        assert anchor_texts(df).collect()[0].anchor == "Zed"
+
+
+class TestBloom:
+    def test_no_false_negatives_and_sql_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from pheknowlator_spark.webtext.urls import bloom_build, bloom_probe
+
+        urls = spark.range(400).select(
+            F.concat(F.lit("https://x/p"), F.col("id").cast("string")).alias(
+                "url"
+            ),
+            "id",
+        )
+        seen = urls.filter(F.col("id") % 2 == 0).select("url")
+        bloom = bloom_build(seen, m_bits=1 << 13, k=4)
+        got = {
+            r.id: r.maybe_seen
+            for r in bloom_probe(
+                urls, bloom, m_bits=1 << 13, k=4
+            ).collect()
+        }
+        # Bloom guarantee: every member reports seen
+        assert all(got[i] for i in range(0, 400, 2))
+        # at this load factor the FP rate is ~2e-4 — essentially all
+        # non-members must report unseen
+        fps = sum(1 for i in range(1, 400, 2) if got[i])
+        assert fps <= 2
+
+        # exact word-level parity with the documented DuckDB arithmetic
+        import duckdb
+
+        exp = dict(
+            duckdb.sql(
+                """
+                WITH seen AS (SELECT 'https://x/p' || CAST(i*2 AS VARCHAR)
+                                AS url FROM range(200) t(i)),
+                pos AS (SELECT CAST(('0x' || substring(md5(
+                          CAST(j AS VARCHAR) || ':' || url), 1, 8))
+                          AS UBIGINT) % 8192 AS pos
+                        FROM seen, range(4) s(j))
+                SELECT CAST(pos // 32 AS BIGINT),
+                       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                FROM pos GROUP BY 1
+                """
+            ).fetchall()
+        )
+        assert {
+            r.word_idx: r.word for r in bloom.collect()
+        } == exp
+
+
+class TestCorpusQuality:
+    def test_host_quality_filter(self, spark):
+        from pheknowlator_spark.operators.corpus import host_quality_filter
+
+        good = (
+            "the study of the new data and results from the analysis is "
+            "presented in this report with a table of values for review."
+        )
+        pages = spark.createDataFrame(
+            [
+                ("https://good.example/1", good),
+                ("https://good.example/2", good),
+                ("https://spam.example/1", good),
+                ("https://spam.example/2", "buy buy buy!!!"),
+                ("https://spam.example/3", "!!!! ???? ....."),
+                ("https://tiny.example/1", good),  # fails min_pages
+            ],
+            "url string, text string",
+        )
+        out = host_quality_filter(
+            pages, min_mean_quality=0.7, min_pages=2
+        )
+        assert sorted(r.url for r in out.collect()) == [
+            "https://good.example/1",
+            "https://good.example/2",
+        ]
+        row = out.collect()[0]
+        assert row.host == "good.example" and row.host_pages == 2
+
+    def test_dsir_weights_direction(self, spark):
+        from pyspark.sql import functions as F
+
+        from pheknowlator_spark.operators.corpus import dsir_weights
+
+        rows = [(i, "alpha beta gamma delta", "target") for i in range(20)]
+        rows += [(100 + i, "zig zag zog zug", "other") for i in range(20)]
+        rows += [(200, "alpha beta gamma delta", "other")]
+        rows += [(201, "zig zag zog zug", "probe-other")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        w = {
+            r.doc_id: r.dsir_weight
+            for r in dsir_weights(
+                docs, F.col("src") == "target", buckets=64
+            ).collect()
+        }
+        # target-looking doc scores strictly higher than raw-looking doc
+        assert w[200] > w[201]
+        assert all(r > 0 for k, r in w.items() if k < 20)
+        # n_tokens rides along
+        assert len(w) == 42
