@@ -74,6 +74,10 @@ HEADLINE = [
     # round 5 (third batch): KG-embedding training data generators
     "random_walks",
     "k_core",
+    # round 5 (fourth batch): DSIR importance weights (token explode +
+    # broadcast bucket-LM join + per-doc agg) and the anchor-text harvest
+    "dsir_weights",
+    "anchor_topk",
 ]
 
 

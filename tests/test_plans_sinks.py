@@ -240,3 +240,39 @@ def test_warc_parser_skips_non_response_and_corrupt_tail(spark):
     url, ts, body, rid, src = out[0]
     assert url == "https://y.example/"
     assert body == b"<b>z</b>"
+
+
+def test_wet_round_trip(spark, tmp_path):
+    # pages → WET conversion records (distributed text sink) → read back:
+    # url/ts/text identical, including multi-line and non-ASCII payloads
+    # (Content-Length is byte length) and null text (empty record)
+    from pheknowlator_spark.sources.warc import read_wet, write_wet
+
+    pages = spark.createDataFrame(
+        [
+            ("https://w/1", "2024-04-01 10:00:00", "plain text"),
+            ("https://w/2", "2024-04-02 11:30:00", "line one\nline two\n"),
+            ("https://w/3", "2024-04-03 12:00:00", "naïve — ünïcode ✓"),
+            ("https://w/4", "2024-04-04 13:00:00", None),
+        ],
+        "url string, warc_ts string, text string",
+    ).selectExpr("url", "cast(warc_ts as timestamp) warc_ts", "text")
+    out = str(tmp_path / "wet")
+    write_wet(pages, out)
+    back = read_wet(spark, out, glob="part-*")
+    got = {
+        (r.url, str(r.warc_ts), r.text) for r in back.collect()
+    }
+    assert got == {
+        ("https://w/1", "2024-04-01 10:00:00", "plain text"),
+        ("https://w/2", "2024-04-02 11:30:00", "line one\nline two\n"),
+        ("https://w/3", "2024-04-03 12:00:00", "naïve — ünïcode ✓"),
+        ("https://w/4", "2024-04-04 13:00:00", ""),
+    }
+    # deterministic record ids (md5 urn of the url): idempotent re-write
+    rid = {r.url: r.record_id for r in back.collect()}
+    import hashlib
+
+    assert rid["https://w/1"] == (
+        "<urn:md5:" + hashlib.md5(b"https://w/1").hexdigest() + ">"
+    )
