@@ -90,31 +90,56 @@ def filter_owl_semantics(triples: DataFrame) -> DataFrame:
             (~F.col("o_is_literal")) & (~_is_bnode(F.col("s"))) & (~_is_bnode(F.col("o")))
         )
     )
-    classes = (
-        _typed_as(triples, OWL_CLASS)
-        .unionByName(_typed_as(triples, OWL_NAMED_INDIVIDUAL))
-        .filter(~F.col("node").contains("#"))
-        .distinct()
-    )
-    obj_props = _typed_as(triples, OWL_OBJECT_PROPERTY)
-    typed_preds = (
+    # ONE node-flag dimension from the rdf:type triples (is Class/NI
+    # without '#', is ObjectProperty, has any type) instead of four
+    # separate typed-node dims: one aggregation pass feeds all three
+    # joins, and the identical broadcast subtree is reused across them
+    # (the former shape built four distinct broadcast exchanges)
+    type_flags = (
         triples.filter(F.col("p") == RDF_TYPE)
-        .select(F.col("s").alias("node"))
-        .distinct()
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.max(
+                (
+                    F.col("o").isin([OWL_CLASS, OWL_NAMED_INDIVIDUAL])
+                ).cast("int")
+            ).alias("__is_cls_raw"),
+            F.max((F.col("o") == OWL_OBJECT_PROPERTY).cast("int")).alias(
+                "__is_op"
+            ),
+        )
+        .select(
+            "node",
+            (
+                (F.col("__is_cls_raw") == 1) & (~F.col("node").contains("#"))
+            ).alias("__is_cls"),
+            (F.col("__is_op") == 1).alias("__is_op"),
+        )
     )
 
     flagged = (
         uri_triples.join(
-            F.broadcast(classes.select(F.col("node").alias("s"), F.lit(True).alias("__s_cls"))),
+            F.broadcast(
+                type_flags.select(
+                    F.col("node").alias("s"), F.col("__is_cls").alias("__s_cls")
+                )
+            ),
             "s", "left")
         .join(
-            F.broadcast(classes.select(F.col("node").alias("o"), F.lit(True).alias("__o_cls"))),
+            F.broadcast(
+                type_flags.select(
+                    F.col("node").alias("o"), F.col("__is_cls").alias("__o_cls")
+                )
+            ),
             "o", "left")
         .join(
-            F.broadcast(obj_props.select(F.col("node").alias("p"), F.lit(True).alias("__p_obj"))),
-            "p", "left")
-        .join(
-            F.broadcast(typed_preds.select(F.col("node").alias("p"), F.lit(True).alias("__p_typed"))),
+            F.broadcast(
+                type_flags.select(
+                    F.col("node").alias("p"),
+                    F.col("__is_op").alias("__p_obj"),
+                    F.lit(True).alias("__p_typed"),
+                )
+            ),
             "p", "left")
     )
     s_cls = F.coalesce("__s_cls", F.lit(False))

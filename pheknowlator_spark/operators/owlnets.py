@@ -95,35 +95,33 @@ def decode_roots(triples: DataFrame) -> DataFrame:
     tgt = triples.filter(F.col("p") == OWL_NS + "annotatedTarget").select(
         F.col("s").alias("axiom"), F.col("o").alias("tgt")
     )
-    types = triples.filter(F.col("p") == RDF_TYPE).select(
-        F.col("s").alias("node"), F.col("o").alias("t")
+    # one aggregated flag dim (node → is-Class, has-any-type) joined on
+    # src and tgt — replaces four separate typed-node dims/joins with two
+    # joins over one shared broadcast subtree
+    type_flags = (
+        triples.filter(F.col("p") == RDF_TYPE)
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.max((F.col("o") == OWL_CLASS).cast("int")).alias("__cls"))
+        .withColumn("__typed", F.lit(True))
     )
     ax = (
         axioms.join(src, "axiom", "left")
         .join(tgt, "axiom", "left")
         .join(
-            types.filter(F.col("t") == OWL_CLASS)
-            .select(F.col("node").alias("src"), F.lit(True).alias("src_cls"))
-            .distinct(),
+            type_flags.select(
+                F.col("node").alias("src"),
+                (F.col("__cls") == 1).alias("src_cls"),
+                F.col("__typed").alias("src_typed"),
+            ),
             "src",
             "left",
         )
         .join(
-            types.select(F.col("node").alias("src"), F.lit(True).alias("src_typed"))
-            .distinct(),
-            "src",
-            "left",
-        )
-        .join(
-            types.filter(F.col("t") == OWL_CLASS)
-            .select(F.col("node").alias("tgt"), F.lit(True).alias("tgt_cls"))
-            .distinct(),
-            "tgt",
-            "left",
-        )
-        .join(
-            types.select(F.col("node").alias("tgt"), F.lit(True).alias("tgt_typed"))
-            .distinct(),
+            type_flags.select(
+                F.col("node").alias("tgt"),
+                (F.col("__cls") == 1).alias("tgt_cls"),
+                F.col("__typed").alias("tgt_typed"),
+            ),
             "tgt",
             "left",
         )
@@ -163,33 +161,51 @@ def assign_forests(triples: DataFrame, roots: DataFrame, max_depth: int = 12) ->
     # (O(depth²) re-materialization; at tiny forest depth the per-level
     # job overhead dominated the entire decode)
     acc_parts = [root_edges]
-    # frontier: anonymous objects not yet expanded per root
-    frontier = _cut_lineage(
+    out_cols = ["root", "s", "p", "o", "o_is_literal"]
+    # frontier: anonymous objects not yet expanded per root (lazy — one
+    # filter/distinct over the checkpointed base)
+    frontier = (
         root_edges.filter(_bnode_col(F.col("o")))
         .select("root", F.col("o").alias("node"))
         .distinct()
     )
     visited = frontier
     for _ in range(max_depth):
-        if frontier.isEmpty():
-            break
-        # one lineage cut per level, on the DELTA only (reliable-
-        # checkpoint aware — executor loss mid-walk on a real cluster
-        # must not recompute the whole frontier chain); two consumers
-        # read it (accumulator + next frontier)
-        expanded = _cut_lineage(
-            frontier.join(t, frontier.node == t.s, "inner").select(
-                "root", "s", "p", "o", "o_is_literal"
+        # ONE lineage cut per level (reliable-checkpoint aware — executor
+        # loss mid-walk on a real cluster must not recompute the whole
+        # frontier chain): the checkpointed delta carries the expanded
+        # triples AND a ``__new`` frontier flag (bnode object not yet
+        # visited, via one left join against the union of prior deltas'
+        # frontier rows) — the former second cut per level for the
+        # frontier alone doubled the per-level job count while t was
+        # still scanned exactly once per level either way
+        # visited is exact (disjoint unions of per-level distincts) — no
+        # dedup needed before the flag join
+        seen = visited.select(
+            "root", F.col("node").alias("o"), F.lit(True).alias("__seen")
+        )
+        delta = _cut_lineage(
+            frontier.join(t, frontier.node == t.s, "inner")
+            .select("root", "s", "p", "o", "o_is_literal")
+            .join(seen, ["root", "o"], "left")
+            .select(
+                *out_cols,
+                (
+                    _bnode_col(F.col("o")) & F.col("__seen").isNull()
+                ).alias("__new"),
             )
         )
-        acc_parts.append(expanded)
-        new_frontier = _cut_lineage(
-            expanded.filter(_bnode_col(F.col("o")))
+        if delta.isEmpty():
+            break
+        acc_parts.append(delta.select(*out_cols))
+        new_frontier = (
+            delta.filter(F.col("__new"))
             .select("root", F.col("o").alias("node"))
             .distinct()
-            .join(visited, ["root", "node"], "left_anti")
         )
-        # successive frontiers are disjoint by the anti-join — plain
+        if new_frontier.isEmpty():
+            break
+        # successive frontiers are disjoint by the ``__new`` flag — plain
         # union keeps the visited set exact with no distinct shuffle
         visited = visited.unionByName(new_frontier)
         frontier = new_frontier
@@ -576,7 +592,12 @@ def run_owlnets(
         F.lit(None).cast("string").alias("o_datatype"),
     )
     cleaned = clean_decoded_graph(decoded_full).select("s", "p", "o")
-    combined = plain.unionByName(cleaned).distinct()
+    # cut lineage ONCE on the combined graph: make_graph_connected reads
+    # its input from four subtrees (closure base, node set, neighbor set,
+    # final union) — without the cut each consumer re-ran the whole
+    # applyInPandas decode + the plain-triples filter tree (~4× the decode
+    # cost; at cluster scale 4 redundant scans of the decoded graph)
+    combined = _cut_lineage(plain.unionByName(cleaned).distinct())
     connected = make_graph_connected(combined, approach or "subclass")
     out = {
         "owlnets": connected,

@@ -150,13 +150,36 @@ class StageStore:
                 .agg(F.count(F.lit(1)).alias("output_rows"))
                 .collect()
             ]
-        per_part = self.spark.createDataFrame(
-            [(stage, int(pid), fp, int(n), int(wall_ms)) for pid, fp, n in rows]
-            or [(stage, 0, None, 0, int(wall_ms))],
-            "stage string, partition_id int, file string, output_rows long, "
-            "wall_ms long",
-        ).withColumn("ts", F.current_timestamp())
-        per_part.write.mode("overwrite").parquet(self._lineage_dir(stage))
+        # the sidecar is a handful of driver-side metadata rows — write it
+        # with pyarrow directly (one buffered file write) instead of a
+        # Spark createDataFrame→write job per stage: the job-scheduling
+        # round trip cost ~0.4 s per stage commit, ~20% of a warm
+        # full_build, for rows that never touch an executor
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        recs = [
+            (stage, int(pid), fp, int(n), int(wall_ms)) for pid, fp, n in rows
+        ] or [(stage, 0, None, 0, int(wall_ms))]
+        ts = datetime.datetime.now(datetime.timezone.utc)
+        table = pa.table(
+            {
+                "stage": pa.array([r[0] for r in recs], pa.string()),
+                "partition_id": pa.array([r[1] for r in recs], pa.int32()),
+                "file": pa.array([r[2] for r in recs], pa.string()),
+                "output_rows": pa.array([r[3] for r in recs], pa.int64()),
+                "wall_ms": pa.array([r[4] for r in recs], pa.int64()),
+                "ts": pa.array([ts] * len(recs), pa.timestamp("us", tz="UTC")),
+            }
+        )
+        ldir = self._lineage_dir(stage)
+        shutil.rmtree(ldir, ignore_errors=True)
+        os.makedirs(ldir, exist_ok=True)
+        pq.write_table(table, os.path.join(ldir, "part-00000.parquet"))
+        with open(os.path.join(ldir, "_SUCCESS"), "w"):
+            pass
 
     def compact(
         self,
