@@ -1727,12 +1727,19 @@ def _annotation_graph(spark, sf_dir):
 
 
 def q_logic_annotation_split(spark, sf_dir):
-    from pheknowlator_spark.operators.owl_filters import split_logic_annotation
+    # ONE annotation_flags classification pass with part = CASE over the
+    # flag — set-equal to unioning split_logic_annotation's two sides
+    # (input is distinct, the flag is a deterministic row function) while
+    # evaluating the classification subtree once instead of twice
+    from pheknowlator_spark.operators.owl_filters import annotation_flags
 
     g = _annotation_graph(spark, sf_dir)
-    logic, annot = split_logic_annotation(g)
-    return logic.select(F.lit("logic").alias("part"), "s", "p", "o").unionByName(
-        annot.select(F.lit("annotation").alias("part"), "s", "p", "o")
+    flagged = annotation_flags(g)
+    return flagged.select(
+        F.when(F.col("__annot"), F.lit("annotation"))
+        .otherwise(F.lit("logic"))
+        .alias("part"),
+        "s", "p", "o",
     )
 
 

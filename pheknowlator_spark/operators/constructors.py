@@ -96,7 +96,15 @@ def _subclass_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> 
         uri_triple(u4, OWL_ON_PROPERTY, inv),
         uri_triple(inv, RDF_TYPE, OWL_OBJECT_PROPERTY),
     )
-    return F.when(inv.isNotNull(), F.concat(fwd, bwd)).otherwise(fwd)
+    # concat(fwd, CASE inv) instead of CASE over two full arrays: the
+    # former duplicated the 9-struct fwd subtree in both branches,
+    # doubling the expression tree Catalyst re-optimizes on every plan
+    # build (per-rep driver time at bench scale, planning memory at any)
+    empty = F.array().cast(
+        "array<struct<s:string,p:string,o:string,o_is_literal:boolean,"
+        "o_lang:string,o_datatype:string>>"
+    )
+    return F.concat(fwd, F.when(inv.isNotNull(), bwd).otherwise(empty))
 
 
 def _instance_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> Column:
@@ -122,7 +130,11 @@ def _instance_core_triples(n1: Column, n2: Column, rel: Column, inv: Column) -> 
         uri_triple(u2, inv, u1),
         uri_triple(inv, RDF_TYPE, OWL_OBJECT_PROPERTY),
     )
-    return F.when(inv.isNotNull(), F.concat(fwd, bwd)).otherwise(fwd)
+    empty = F.array().cast(
+        "array<struct<s:string,p:string,o:string,o_is_literal:boolean,"
+        "o_lang:string,o_datatype:string>>"
+    )
+    return F.concat(fwd, F.when(inv.isNotNull(), bwd).otherwise(empty))
 
 
 def _resolved(edges: DataFrame) -> DataFrame:

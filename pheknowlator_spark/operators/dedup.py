@@ -549,24 +549,31 @@ def embedding_near_duplicates(
         "__v",
         F.explode(_bucket_structs("__v", tables, bits, dim)).alias("tb"),
     ).select(
-        "__id", "__v",
+        "__id",
         F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),
     )
 
-    left = buckets.select(
-        "table", "bucket", F.col("__id").alias("a"), F.col("__v").alias("__va")
-    )
-    right = buckets.select(
-        "table", "bucket", F.col("__id").alias("b"), F.col("__v").alias("__vb")
-    )
+    # candidate generation moves IDS only: the (table, bucket) self-join
+    # and the pair dedup shuffle two id columns, not two dim-length
+    # vector payloads (the former shape amplified every vector ``tables``×
+    # through the bucket exchange and hashed 2×dim doubles per row in the
+    # distinct); the exact-verify vectors attach afterwards via two
+    # id-keyed joins — the §8 "decide with small rows, move big rows
+    # once" split
+    left = buckets.select("table", "bucket", F.col("__id").alias("a"))
+    right = buckets.select("table", "bucket", F.col("__id").alias("b"))
     cands = (
         left.join(right, ["table", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "__va", "__vb")
+        .select("a", "b")
         .distinct()
     )
+    va = v.select(F.col("__id").alias("a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col("__id").alias("b"), F.col("__v").alias("__vb"))
     return (
-        cands.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -123,7 +123,11 @@ def connected_components(
             if s.startswith(f"{stage_prefix}_round_")
         )
         if done:
-            labels = state_store.run(done[-1], lambda: labels)
+            # committed round tables carry the ``__prev`` probe column —
+            # resume with the label columns only
+            labels = state_store.run(done[-1], lambda: labels).select(
+                "node", "component"
+            )
             start_it = int(done[-1].rsplit("_", 1)[-1]) + 1
 
     for it in range(start_it, max_iterations):
@@ -133,6 +137,10 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the previous label rides along as ``__prev`` so the convergence
+        # probe below is a plain scan of the checkpointed round table —
+        # the former shape re-joined the round against the previous
+        # labels (one extra shuffle join + exchange per round)
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -140,6 +148,7 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("__prev"),
             )
         )
         # label-pointer jumping: component ← label(component) to shortcut chains
@@ -158,6 +167,7 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("parent", F.col("component"))).alias(
                     "component"
                 ),
+                "__prev",
             )
         )
         if checkpoint_every and (it % checkpoint_every == 0):
@@ -167,13 +177,11 @@ def connected_components(
                 f"{stage_prefix}_round_{it:04d}", lambda j=jumped: j
             )
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            jumped.filter(F.col("component") != F.col("__prev"))
             .limit(1)
             .count()
         )
-        labels = jumped
+        labels = jumped.drop("__prev")
         if on_round is not None:
             on_round(it)
         if changed == 0:
@@ -339,9 +347,23 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # the dangling marker rides along in the rank table: the per-round
+    # dangling mass becomes a filter + aggregate over the checkpointed
+    # ranks instead of an anti-join against the out-degree dim (one fewer
+    # join per round), and the new ranks build from the previous round's
+    # table directly instead of re-joining the node dim
+    has_out = outdeg.select(
+        F.col("src").alias("node"), F.lit(True).alias("__has_out")
+    )
+    ranks = (
+        nodes.join(has_out, "node", "left")
+        .select(
+            "node",
+            F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+    )
     ranks = _cut_lineage(ranks)
-    has_out = outdeg.select(F.col("src").alias("node"))
     d = damping
     start_it = 0
     if state_store is not None:
@@ -354,19 +376,23 @@ def pagerank(
             start_it = int(done[-1].rsplit("_", 1)[-1]) + 1
     for it in range(start_it, iterations):
         contrib = (
-            weighted.join(ranks.withColumnRenamed("node", "src"), "src")
+            weighted.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
         )
         dangling = (
-            ranks.join(has_out, "node", "left_anti")
+            ranks.filter(~F.col("__has_out"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", "__has_out")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__has_out",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d)
@@ -382,7 +408,7 @@ def pagerank(
             )
         if on_round is not None:
             on_round(it)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_stats(

@@ -279,6 +279,19 @@ def annotation_assertions(triples: DataFrame) -> DataFrame:
     sized (broadcast), entity classification is two aggregations — no
     all-pairs work, scales to ontology-union graphs of any size.
     """
+    flagged = annotation_flags(triples)
+    cols = [c for c in triples.columns]
+    return flagged.filter(F.col("__annot")).select(*cols).distinct()
+
+
+def annotation_flags(triples: DataFrame) -> DataFrame:
+    """The classification pass behind :func:`annotation_assertions`: the
+    input triples with one extra boolean ``__annot`` (true iff the row is
+    an annotation assertion under the case rules above). Row-level and
+    deterministic — ``filter(__annot)`` is the annotation subset and
+    ``filter(~__annot)`` is set-equal to the anti-join difference, so a
+    caller needing BOTH sides classifies once instead of evaluating the
+    whole subtree per side."""
     not_bnode_o = ~_is_bnode(F.col("o"))
     uri_o = (~F.col("o_is_literal")) & not_bnode_o
 
@@ -291,54 +304,54 @@ def annotation_assertions(triples: DataFrame) -> DataFrame:
         .select(F.col("s").alias("prop"))
         .distinct()
     )
-    axioms = _typed_as(triples, OWL_AXIOM).select(F.col("node").alias("ent"))
-
-    # per-entity annotatedSource/annotatedTarget presence (URI objects only)
-    src_tgt = (
-        triples.filter(
-            F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET]) & uri_o
-        )
-        .groupBy(F.col("s").alias("ent"))
-        .agg(
-            F.max((F.col("p") == OWL_ANNOTATED_SOURCE).cast("int")).alias("__has_src"),
-            F.max((F.col("p") == OWL_ANNOTATED_TARGET).cast("int")).alias("__has_tgt"),
-        )
-    )
-
-    entities = (
-        triples.join(
-            F.broadcast(annot_props), triples["p"] == annot_props["prop"], "left_semi"
-        )
-        .filter(~_is_bnode(F.col("s")))
-        .select(F.col("s").alias("ent"))
-        .distinct()
-        .join(axioms, "ent", "left_anti")
-    )
-    ents = (
-        axioms.unionByName(entities)
-        .distinct()
-        .join(src_tgt, "ent", "left")
-        .select(
-            "ent",
-            F.when(
-                (F.coalesce("__has_src", F.lit(0)) == 1)
-                & (F.coalesce("__has_tgt", F.lit(0)) == 1),
-                "A",
-            )
-            .when(
-                (F.coalesce("__has_src", F.lit(0)) == 0)
-                & (F.coalesce("__has_tgt", F.lit(0)) == 0),
-                "B",
-            )
-            .otherwise("C")
-            .alias("case"),
-        )
-    )
 
     flagged = triples.join(
         F.broadcast(annot_props.select(F.col("prop").alias("p"), F.lit(True).alias("__declared"))),
         "p",
         "left",
+    )
+
+    # entity classification in ONE aggregation over the flagged triples:
+    # per subject — is it an owl:Axiom, does it carry a declared-annot-
+    # property out-edge, and which of annotatedSource/Target (URI objects
+    # only) are present. The former shape derived the same facts through
+    # four separate distinct/semi-/anti-join subtrees plus a union.
+    is_src_tgt = F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET])
+    ents = (
+        flagged.groupBy(F.col("s").alias("ent"))
+        .agg(
+            F.max(
+                ((F.col("p") == RDF_TYPE) & (F.col("o") == OWL_AXIOM)).cast("int")
+            ).alias("__is_ax"),
+            F.max(F.coalesce("__declared", F.lit(False)).cast("int")).alias(
+                "__has_decl"
+            ),
+            F.max(
+                (is_src_tgt & uri_o & (F.col("p") == OWL_ANNOTATED_SOURCE)).cast(
+                    "int"
+                )
+            ).alias("__has_src"),
+            F.max(
+                (is_src_tgt & uri_o & (F.col("p") == OWL_ANNOTATED_TARGET)).cast(
+                    "int"
+                )
+            ).alias("__has_tgt"),
+        )
+        .filter(
+            (F.col("__is_ax") == 1)
+            | ((F.col("__has_decl") == 1) & ~_is_bnode(F.col("ent")))
+        )
+        .select(
+            "ent",
+            F.when(
+                (F.col("__has_src") == 1) & (F.col("__has_tgt") == 1), "A"
+            )
+            .when(
+                (F.col("__has_src") == 0) & (F.col("__has_tgt") == 0), "B"
+            )
+            .otherwise("C")
+            .alias("case"),
+        )
     )
     is_declared = F.coalesce("__declared", F.lit(False))
     is_all_annot = is_declared | F.col("p").isin(_CORE_ANNOT)
@@ -372,7 +385,9 @@ def annotation_assertions(triples: DataFrame) -> DataFrame:
         & ~F.col("p").isin([OWL_ANNOTATED_SOURCE, OWL_ANNOTATED_TARGET])
     )
     cols = [c for c in triples.columns]
-    return both.filter(contrib_s | contrib_o).select(*cols).distinct()
+    return both.select(
+        *cols, F.coalesce(contrib_s | contrib_o, F.lit(False)).alias("__annot")
+    )
 
 
 def split_logic_annotation(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -382,9 +397,16 @@ def split_logic_annotation(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     (kg_utils.py:640) holds by construction for an anti-join difference
     when the graph is distinct — callers persisting both sides can assert
     ``logic.count() + annotation.count() == all.distinct().count()``.
+
+    Both sides come from ONE :func:`annotation_flags` classification pass
+    (``__annot`` is a deterministic function of the row, so the negated
+    filter is set-equal to the former ``graph_difference`` anti-join while
+    evaluating the classification subtree once per side instead of twice).
     """
-    annot = annotation_assertions(triples)
-    logic = graph_difference(triples, annot)
+    flagged = annotation_flags(triples)
+    cols = [c for c in triples.columns]
+    logic = flagged.filter(~F.col("__annot")).select(*cols)
+    annot = flagged.filter(F.col("__annot")).select(*cols).distinct()
     return logic, annot
 
 
