@@ -107,14 +107,17 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
+    # cut sym FIRST so the labels cut reads the checkpointed edges — the
+    # former order derived labels from the still-lazy subtree and its cut
+    # re-ran the whole upstream edge derivation a second time
+    sym = _cut_lineage(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = _cut_lineage(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    sym = _cut_lineage(sym)
-    labels = _cut_lineage(labels)
 
     start_it = 0
     if state_store is not None:
@@ -329,7 +332,10 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
+    # cut the deduplicated edge set FIRST: the node count, the weighted
+    # edge cut, and the dangling-flag join below each consume it — uncut,
+    # every consumer re-ran the upstream edge derivation
+    e = _cut_lineage(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()

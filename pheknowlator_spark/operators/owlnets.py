@@ -195,8 +195,9 @@ def assign_forests(triples: DataFrame, roots: DataFrame, max_depth: int = 12) ->
                 ).alias("__new"),
             )
         )
-        if delta.isEmpty():
-            break
+        # ONE emptiness probe per level: no flagged rows covers both the
+        # empty-delta and the exhausted-frontier case (an empty delta
+        # union part downstream is free)
         acc_parts.append(delta.select(*out_cols))
         new_frontier = (
             delta.filter(F.col("__new"))
