@@ -129,30 +129,50 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable (the 1-element-array ``transform`` idiom, see
+    ``operators/dedup.segment_occurrences``). Referenced bare, a
+    multiply-used subexpression is inlined by CollapseProject into every
+    consumer — for the word-split below that meant re-running the regex
+    split once per OUTPUT GRAM (O(words²) regex work per document,
+    measured 2.5 s per gram list over 5000 54-word docs vs 0.3 s bound).
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct) for Jaccard/MinHash."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+
+    def build(wds):
+        n = F.size(wds)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", wds))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice(wds, i + 1, k)),
+                )
             )
         )
-    )
+
+    return _bind(words, build)
 
 
 def ngram_list(col: Column, k: int = 2) -> Column:
     """Word k-gram array WITH duplicates (unlike :func:`shingles`) — the
     multiset that repetition statistics count over."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )
+
+    def build(wds):
+        n = F.size(wds)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", wds))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wds, i + 1, k)))
+        )
+
+    return _bind(words, build)
 
 
 def repetition_stats(col: Column) -> Column:
@@ -166,36 +186,66 @@ def repetition_stats(col: Column) -> Column:
       earlier 5-gram (1 − distinct/total) — catches templated spam whose
       unigram profile looks natural.
 
-    Pure Column math (whole-stage codegen, zero shuffles): the max-count
-    scan is O(distinct × total) WITHIN a row, fine for web documents
-    (≤10^4 words). For corpora of book-length texts the same statistics
-    should instead be computed by ``explode`` → two hash aggregations
-    keyed by (doc, gram) then (doc) — linear but two corpus-scale
-    shuffles; this column form is the right default for web pages.
+    Pure Column math (zero shuffles), LINEAR per row: the max-multiplicity
+    count is the longest equal-run in the sorted gram array (one
+    ``array_sort`` + one linear ``aggregate`` pass). The previous
+    distinct×total nested-lambda scan was quadratic in document length
+    with interpreted per-element evaluation — 256 s for 500 sf0.1
+    documents vs ~1 s linear, and unusable on book-length texts. Equal
+    counts by construction (sorting groups equal grams adjacently), so
+    the emitted fractions are bit-identical.
     The reference has no corpus-quality layer; this extends its P1-P4
     row-filter stage (pkt_kg/edge_list.py) to document granularity.
     """
 
     def _max_frac(arr: Column) -> Column:
-        distinct = F.array_distinct(arr)
-        max_count = F.array_max(
-            F.transform(
-                distinct,
-                lambda g: F.size(F.filter(arr, lambda x: x == g)),
+        srt = F.array_sort(arr)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
             )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        max_count = F.aggregate(srt, init, step)["best"]
+        # empty array → NULL (the old array_max-over-empty semantics)
+        max_count = F.when(F.size(arr) == 0, F.lit(None).cast("int")).otherwise(
+            max_count
         )
         return max_count.cast("double") / F.greatest(
             F.size(arr), F.lit(1)
         ).cast("double")
 
-    g5 = ngram_list(col, 5)
-    dup5 = (F.size(g5) - F.size(F.array_distinct(g5))).cast(
-        "double"
-    ) / F.greatest(F.size(g5), F.lit(1)).cast("double")
-    return F.struct(
-        _max_frac(ngram_list(col, 1)).alias("top_word_frac"),
-        _max_frac(ngram_list(col, 2)).alias("top_2gram_frac"),
-        dup5.alias("dup_5gram_frac"),
+    def build(gs):
+        g5 = gs["g5"]
+        dup5 = (F.size(g5) - F.size(F.array_distinct(g5))).cast(
+            "double"
+        ) / F.greatest(F.size(g5), F.lit(1)).cast("double")
+        return F.struct(
+            _max_frac(gs["g1"]).alias("top_word_frac"),
+            _max_frac(gs["g2"]).alias("top_2gram_frac"),
+            dup5.alias("dup_5gram_frac"),
+        )
+
+    # bind the three gram arrays once per row — each is referenced by
+    # several consumers (sort, sizes, distinct) and would otherwise be
+    # re-built per reference
+    return _bind(
+        F.struct(
+            ngram_list(col, 1).alias("g1"),
+            ngram_list(col, 2).alias("g2"),
+            ngram_list(col, 5).alias("g5"),
+        ),
+        build,
     )
 
 

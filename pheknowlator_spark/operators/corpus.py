@@ -373,38 +373,42 @@ def dsir_weights(
     ``xxhash64 % buckets`` in production for speed). Returns
     ``[<id_col>, n_tokens, dsir_weight]``.
 
-    100 TB path: both hashed LMs are ``buckets``-sized (4096 rows) —
-    built with one partially-combined aggregation each and broadcast
-    back, so scoring is a map-side broadcast join plus one per-doc
-    aggregation; the per-doc shuffle moves one combined row per
-    document, never raw tokens."""
+    100 TB path: the target flag is evaluated on the DOC row before the
+    token explode, so BOTH hashed LMs (each ``buckets``-sized, 4096 rows)
+    come out of ONE partially-combined aggregation over one tokenization
+    pass (conditional count for the target side — the former shape
+    tokenized the corpus three times and semi-joined the target ids
+    against the exploded tokens); scoring is then a map-side broadcast
+    join plus one per-doc aggregation, so the per-doc shuffle moves one
+    combined row per document, never raw tokens. Two corpus scans total.
+    """
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
         % buckets
     ).alias("bucket")
 
-    def _tokens(df):
-        return df.select(
+    toks = (
+        docs.select(
             F.col(id_col),
+            is_target.cast("boolean").alias("__t"),
             F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
             ).alias("term"),
-        ).filter(F.col("term") != "")
-
-    toks = _tokens(docs).select(id_col, bucket)
-    tgt_ids = docs.filter(is_target).select(id_col)
-    tgt = toks.join(tgt_ids, id_col, "left_semi")
-    t_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
-    r_counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
-    t_tot = t_counts.agg(F.sum("__ct").alias("__tt"))
-    r_tot = r_counts.agg(F.sum("__cr").alias("__tr"))
+        )
+        .filter(F.col("term") != "")
+        .select(id_col, "__t", bucket)
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count(F.when(F.col("__t"), F.lit(1))).alias("__ct"),
+    )
+    tots = counts.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
     s = F.lit(float(smoothing))
     b = F.lit(float(buckets))
     ratio = (
-        r_counts.join(t_counts, "bucket", "left")
-        .na.fill({"__ct": 0})
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+        counts.crossJoin(F.broadcast(tots))
         .select(
             "bucket",
             (
