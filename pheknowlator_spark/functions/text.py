@@ -277,17 +277,25 @@ def chunk_documents(
     if stride <= 0 or max_tokens <= 0:
         raise ValueError("max_tokens and stride must be positive")
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
-    last = ((n - 1) / F.lit(stride)).cast("long")
-    chunks = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.greatest(last, F.lit(0).cast("long"))),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.slice(words, (i * stride + 1).cast("int"), max_tokens).alias(
-                "__w"
+
+    def build(wds):
+        n = F.size(wds)
+        last = ((n - 1) / F.lit(stride)).cast("long")
+        return F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.greatest(last, F.lit(0).cast("long"))
             ),
-        ),
-    )
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.slice(wds, (i * stride + 1).cast("int"), max_tokens).alias(
+                    "__w"
+                ),
+            ),
+        )
+
+    # bound once per row (see _bind) — referenced bare, the split re-ran
+    # once per emitted chunk
+    chunks = _bind(words, build)
     return (
         docs.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(

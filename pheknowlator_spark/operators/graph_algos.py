@@ -534,7 +534,11 @@ def bfs_depths(
         nxt = _cut_lineage(nxt)
         if nxt.limit(1).count() == 0:
             break
-        visited = _cut_lineage(visited.unionByName(nxt))
+        # visited stays a LAZY union of the checkpointed per-level deltas
+        # — re-cutting the whole union every level re-materialized the
+        # full visited set per round (O(depth²) total work and one extra
+        # eager job per level) for frames that are already checkpointed
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
