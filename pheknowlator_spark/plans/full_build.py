@@ -147,18 +147,30 @@ def partial_build(
     from pheknowlator_spark.functions.rdf import remove_bnode_namespace
 
     merged = store.run("merged_ontology", lambda: merge_ontologies(ontologies))
-    metadata = store.run("metadata", lambda: extract_metadata(merged))
-    annotations = store.run(
-        "annotation_subset", lambda: annotation_assertions(merged)
-    )
+    # metadata / annotation classification / edge construction depend only
+    # on the committed merged snapshot — run concurrently (guide §2.6),
+    # same as full_build; per-stage commits stay atomic and resumable
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_meta = pool.submit(
+            store.run, "metadata", lambda: extract_metadata(merged)
+        )
+        f_annot = pool.submit(
+            store.run, "annotation_subset",
+            lambda: annotation_assertions(merged),
+        )
+        f_constructed = pool.submit(
+            store.run, "constructed_edges",
+            lambda: _construct_gated_edges(
+                merged, edges, subclass_map, inverse_relations, approach
+            ),
+        )
+        metadata = f_meta.result()
+        annotations = f_annot.result()
+        constructed = f_constructed.result()
     logic = store.run(
         "logic_subset", lambda: graph_difference(merged, annotations)
-    )
-    constructed = store.run(
-        "constructed_edges",
-        lambda: _construct_gated_edges(
-            merged, edges, subclass_map, inverse_relations, approach
-        ),
     )
     logic_full = store.run(
         "logic_with_edges",
@@ -227,23 +239,38 @@ def full_build(
 
     merged = store.run("merged_ontology", lambda: merge_ontologies(ontologies))
 
-    metadata = store.run("metadata", lambda: extract_metadata(merged))
+    # metadata / annotation classification / edge construction depend only
+    # on the COMMITTED merged snapshot — submit them concurrently (guide
+    # §2.6: Spark happily runs several jobs in one application; the next
+    # stage's tasks back-fill executors freed by the current stage's tail).
+    # Each store.run still commits its own directory atomically, so resume
+    # semantics are unchanged whatever order they land in.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # the classification joins run ONCE: commit the annotation subset, then
-    # logic is the anti-join difference against the COMMITTED parquet
-    # (kg_utils.py:640 computes logic = full − annotations the same way)
-    annotations = store.run(
-        "annotation_subset", lambda: annotation_assertions(merged)
-    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_meta = pool.submit(
+            store.run, "metadata", lambda: extract_metadata(merged)
+        )
+        # the classification joins run ONCE: commit the annotation subset,
+        # then logic is the anti-join difference against the COMMITTED
+        # parquet (kg_utils.py:640 computes logic = full − annotations the
+        # same way)
+        f_annot = pool.submit(
+            store.run, "annotation_subset",
+            lambda: annotation_assertions(merged),
+        )
+        f_constructed = pool.submit(
+            store.run, "constructed_edges",
+            lambda: _construct_gated_edges(
+                merged, edges, subclass_map, inverse_relations, approach
+            ),
+        )
+        metadata = f_meta.result()
+        annotations = f_annot.result()
+        constructed = f_constructed.result()
+
     logic = store.run(
         "logic_subset", lambda: graph_difference(merged, annotations)
-    )
-
-    constructed = store.run(
-        "constructed_edges",
-        lambda: _construct_gated_edges(
-            merged, edges, subclass_map, inverse_relations, approach
-        ),
     )
 
     def assemble() -> DataFrame:
